@@ -1,0 +1,239 @@
+"""Typed configuration — the single source of truth for model/train/eval/data.
+
+Replaces the reference's ~60-flag argparse namespaces (four near-duplicate
+copies: train_continuous_IGEV.py:285-369, train_continuous_Raft.py:297-379,
+evaluation.py:557-623, evaluation_validate.py:537-607) with validated
+dataclasses.  All code-path selection that the reference does by substring
+matching on flag strings at trace time (`agg_type`, `unfold_similarity`) is
+resolved here at config time, so jitted functions see only static structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional, Sequence, Tuple
+
+
+class CoreType(str, enum.Enum):
+    """Which cost-volume stage the pipeline runs.
+
+    The reference maintains two ~90%-identical model trees
+    (models/coreContinuous_IGEV vs models/corePrune_RAFT); here they are one
+    pipeline differing only in this switch.
+    """
+
+    IGEV = "igev"  # GWC volume + 3D aggregation + regressed init disparity
+    RAFT = "raft"  # all-pairs correlation pyramid only, zero-init disparity
+
+
+class AggregationType(str, enum.Enum):
+    """High-frequency stem variant (reference `agg_type`,
+    continuous_IGEVstereo.py:106-158 / prune_raft_stereo.py:110-180)."""
+
+    TYPE1 = "type1"  # PixelUnshuffle stems, IN norm
+    TYPE2 = "type2"  # adds a full-res stem_1; 3-input LIIF decoder
+    TYPE3 = "type3"  # HighRes_Aggregation (squeeze-excite, IN head)
+    TYPE4 = "type4"  # HighRes_Aggregation_LN (LayerNorm2d head)
+    TYPE5 = "type5"  # HighRes_Aggregation_LN_GeLU — reference default
+    IGEV = "igev_stem"  # strided-conv stems (RAFT core only)
+    NONE = "none"  # no stems (RAFT core only)
+
+
+class NormType(str, enum.Enum):
+    """Normalization for conv blocks.
+
+    `FROZEN_BATCH` reproduces the reference's training regime: BatchNorm2d
+    layers are switched to eval mode for the whole run
+    (train_continuous_IGEV.py:203, freeze_bn at continuous_IGEVstereo.py:178)
+    so they normalize with fixed statistics — implemented here as a fixed
+    affine transform with non-trainable (mean, var) variables.  INSTANCE and
+    GROUP are the stateless TPU-friendly defaults.
+    """
+
+    INSTANCE = "instance"
+    GROUP = "group"
+    LAYER = "layer"  # LayerNorm2d (channel-wise, per-pixel)
+    FROZEN_BATCH = "frozen_batch"
+    NONE = "none"
+
+
+class IsuMode(str, enum.Enum):
+    """Intra-scale similarity unfolding mode for the LIIF decoder
+    (reference `unfold_similarity` strings, liif.py:492-572)."""
+
+    NONE = "none"
+    WITH_ISU = "with_isu"  # affinity on live features, concat
+    WITH_V2_ISU = "with_v2_isu"  # affinity on stop_gradient(features) — default
+    ONLY_ISU = "only_isu"  # affinity replaces features
+    WITH_3V2_ISU = "with_3v2_isu"  # 3 dilations, detached, concat
+
+
+class PosEncType(str, enum.Enum):
+    NONE = "none"
+    SPATIAL = "spatial"  # log-spaced Fourier features (liif.py:305-337)
+    SINUSOID = "sinusoid"  # PositionEncoder 'sinusoid' + projection (liif.py:181-302)
+
+
+@dataclasses.dataclass(frozen=True)
+class LiifConfig:
+    """Implicit (LIIF) arbitrary-scale decoder configuration
+    (reference liif_out_multi_scale_Training, liif.py:575-678)."""
+
+    mlp_hidden: Tuple[int, ...] = (128, 64, 64)
+    isu_mode: IsuMode = IsuMode.WITH_V2_ISU
+    isu_window: Tuple[int, int] = (3, 3)  # (win_h, win_w) → 8 affinity channels
+    isu_dilations: Tuple[int, ...] = (1, 2, 4, 8)
+    pos_enc: PosEncType = PosEncType.NONE
+    pos_dim: int = 0
+    decode_cell: bool = False
+    quarter_nearest: bool = False  # 4-nearest-tap variant (out dim 4 instead of 9)
+    taps: int = 9  # 3x3 neighborhood weights produced by the MLP
+
+    def __post_init__(self):
+        if self.quarter_nearest:
+            object.__setattr__(self, "taps", 4)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture config (defaults = the reference's behaviorally-proven
+    IGEV + type5 + multi-scale configuration, train_continuous_IGEV.py)."""
+
+    core: CoreType = CoreType.IGEV
+    max_disp: int = 192  # full-res; cost volume depth = max_disp // 4
+    corr_levels: int = 2  # 4 for the RAFT core (train_continuous_Raft.py:326)
+    corr_radius: int = 4
+    n_gru_layers: int = 3
+    hidden_dims: Tuple[int, int, int] = (128, 128, 128)  # 1/4, 1/8, 1/16
+    n_downsample: int = 2  # disparity at 1/2^n resolution
+    agg_type: AggregationType = AggregationType.TYPE5
+    slow_fast_gru: bool = False
+    gwc_groups: int = 8
+    fnet_dim: int = 256  # RAFT matching-feature dim
+    liif: LiifConfig = dataclasses.field(default_factory=LiifConfig)
+    # Norms.  2D "batch" sites in the reference run frozen (see NormType);
+    # the 3D hourglass used live BatchNorm3d — stateless INSTANCE here.
+    norm_2d: NormType = NormType.FROZEN_BATCH
+    norm_3d: NormType = NormType.INSTANCE
+    # Precision policy: bf16 compute, fp32 params, fp32 lookup/regression.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    @property
+    def volume_disp(self) -> int:
+        return self.max_disp // 4
+
+    @property
+    def lookup_channels(self) -> int:
+        """Per-pixel geometry feature width fed to the motion encoder.
+
+        IGEV: levels * (2r+1) * (groups + 1)  (update.py:77, IGEV side)
+        RAFT: levels * (2r+1)                 (corePrune_RAFT/update.py:77)
+        """
+        taps = 2 * self.corr_radius + 1
+        if self.core is CoreType.IGEV:
+            return self.corr_levels * taps * (self.gwc_groups + 1)
+        return self.corr_levels * taps
+
+    def __post_init__(self):
+        if self.max_disp % 4 != 0:
+            raise ValueError("max_disp must be divisible by 4")
+        if self.core is CoreType.IGEV and self.agg_type in (
+            AggregationType.IGEV,
+            AggregationType.NONE,
+        ):
+            raise ValueError(f"agg_type {self.agg_type} is RAFT-core only")
+        if self.n_gru_layers not in (1, 2, 3):
+            raise ValueError("n_gru_layers must be 1, 2, or 3")
+
+
+def raft_config(**overrides) -> ModelConfig:
+    """RAFT-core preset (train_continuous_Raft.py defaults: corr_levels 4)."""
+    base = dict(
+        core=CoreType.RAFT,
+        corr_levels=4,
+        agg_type=AggregationType.TYPE5,
+    )
+    base.update(overrides)
+    return ModelConfig(**base)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization schedule (train_continuous_IGEV.py:125-134,291-301)."""
+
+    lr: float = 2e-4
+    weight_decay: float = 1e-5
+    num_steps: int = 100_000
+    warmup_frac: float = 0.01  # OneCycle pct_start
+    batch_size: int = 2
+    crop_size: Tuple[int, int] = (320, 736)
+    train_iters: int = 16
+    valid_iters: int = 32
+    grad_clip: float = 1.0
+    loss_gamma: float = 0.9  # sequence-loss base, exponent 15/(N-1)
+    supervise_init: bool = False  # add smooth-L1 on the regressed init disparity
+    max_disp_loss: float = 700.0  # GT validity ceiling in the loss
+    # Arbitrary-scale (multi_training) sampling
+    multi_scale: bool = True
+    inp_size: Tuple[int, int] = (160, 320)  # LR input crop (stereo_datasets.py:71)
+    scale_min: float = 1.0
+    scale_max: float = 2.95
+    # Checkpointing — full train state (params + opt state + step), fixing the
+    # reference's weights-only restore (train_continuous_IGEV.py:192-200).
+    ckpt_dir: str = "checkpoints"
+    ckpt_every: int = 10_000
+    seed: int = 1234
+
+    @property
+    def sample_q(self) -> int:
+        """Static per-sample query count (stereo_datasets.py:71)."""
+        return self.inp_size[0] * self.inp_size[1]
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout.  data = batch sharding (pjit-DP, the analog of the
+    reference's nn.DataParallel + vestigial NCCL, SURVEY §2.9); spatial =
+    H-tiling of images/cost volumes with halo exchange for high-res inference."""
+
+    data_axis: str = "data"
+    spatial_axis: str = "spatial"
+    data: int = 1
+    spatial: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset selection and augmentation (stereo_datasets.py, augmentor.py)."""
+
+    train_datasets: Tuple[str, ...] = ("sceneflow",)
+    root: str = "/datasets"
+    num_workers: int = 8
+    # photometric
+    saturation_range: Tuple[float, float] = (0.0, 1.4)
+    img_gamma: Optional[Tuple[float, float]] = None
+    # spatial
+    spatial_scale: Tuple[float, float] = (-0.2, 0.4)
+    do_flip: Optional[str] = None  # 'h' | 'v' | None
+    yjitter: bool = True
+    eraser_prob: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    dataset: str = "sceneflow"
+    valid_iters: int = 32
+    scale_test: float = 1.0  # arbitrary-scale factor (inputs downscaled by it)
+    divis_by: int = 32
+    max_disp_metric: float = 1000.0  # validity ceiling (evaluation_validate.py)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)

@@ -1,0 +1,128 @@
+"""Correlation / geometry-volume pyramid lookup — the per-iteration gather
+that feeds the ConvGRU motion encoder.
+
+Spec: Combined_Geo_Encoding_Volume (models/coreContinuous_IGEV/geometry.py:6-60)
+and CorrBlock1D (models/corePrune_RAFT/geometry.py:6-43).  The reference
+reshapes to [B*H*W, C, 1, L] rows and calls grid_sample per GRU iteration;
+the CUDA extension it ships (sampler/sampler_kernel.cu:19-60, never wired up)
+fuses the same gather.  Here the pyramid is built once per forward pass and
+the lookup is a vectorized 1-D linear gather over the innermost (lane) axis;
+a Pallas kernel (ops/pallas/lookup_kernel.py) implements the fused fast path
+behind the same function signature.
+
+Channel ordering of the output matches the reference concat exactly
+(geometry.py:57-59): per level, GEV taps flattened group-major [G*K] then
+init-corr taps [K]; levels concatenated in order.  RAFT mode has no GEV:
+[K per level] * levels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from anystereo_tpu.ops.sampling import gather_1d_linear, pool_half_last
+
+
+@dataclasses.dataclass
+class CorrPyramid:
+    """Precomputed lookup pyramids.
+
+    corr_levels: tuple of [B, H, W, W2/2^i] all-pairs correlation rows.
+    geo_levels:  tuple of [B, H, W, G, D/2^i] geometry-encoding volumes
+                 (None for the RAFT core).
+    """
+
+    corr_levels: Tuple[jnp.ndarray, ...]
+    geo_levels: Optional[Tuple[jnp.ndarray, ...]]
+    radius: int
+
+    @property
+    def num_levels(self) -> int:
+        return len(self.corr_levels)
+
+    @property
+    def out_channels(self) -> int:
+        taps = 2 * self.radius + 1
+        if self.geo_levels is not None:
+            g = self.geo_levels[0].shape[-2]
+            return self.num_levels * taps * (g + 1)
+        return self.num_levels * taps
+
+
+def build_pyramid(
+    corr: jnp.ndarray,
+    geo_volume: Optional[jnp.ndarray],
+    num_levels: int,
+    radius: int,
+) -> CorrPyramid:
+    """Build the avg-pooled lookup pyramids (geometry.py:23-29).
+
+    corr:       [B, H, W, W2] all-pairs correlation (fp32)
+    geo_volume: [B, H, W, G, D] or None
+    Each level halves the last axis (kernel 2 / stride 2, floor semantics).
+    """
+    corr = corr.astype(jnp.float32)
+    corr_levels = [corr]
+    for _ in range(num_levels - 1):
+        corr_levels.append(pool_half_last(corr_levels[-1]))
+    geo_levels = None
+    if geo_volume is not None:
+        g0 = geo_volume.astype(jnp.float32)
+        geo_list = [g0]
+        for _ in range(num_levels - 1):
+            geo_list.append(pool_half_last(geo_list[-1]))
+        geo_levels = tuple(geo_list)
+    return CorrPyramid(tuple(corr_levels), geo_levels, radius)
+
+
+def pyramid_lookup(
+    pyr: CorrPyramid,
+    disp: jnp.ndarray,
+    coords: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Sample 2r+1 taps around the current disparity at every pyramid level.
+
+    disp:   [B, H, W] current disparity estimate (fp32; callers stop_gradient
+            it between GRU iterations as the reference does at
+            continuous_IGEVstereo.py:285).
+    coords: [B, H, W] or [W] x-coordinate of each column (defaults to
+            arange(W); an explicit value supports spatially-sharded tiles
+            whose global offset differs).
+    returns [B, H, W, C_lookup] fp32.
+
+    Tap positions (geometry.py:41-53):
+      GEV:  x0 = disp / 2^i + dx,          sampled from the D axis;
+      corr: x0 = (coords - disp) / 2^i + dx, sampled from the W2 axis.
+    """
+    b, h, w = disp.shape
+    r = pyr.radius
+    dx = jnp.arange(-r, r + 1, dtype=jnp.float32)  # [K]
+    disp = disp.astype(jnp.float32)
+    if coords is None:
+        coords = jnp.arange(w, dtype=jnp.float32)
+    coords = jnp.broadcast_to(coords, (b, h, w)).astype(jnp.float32)
+
+    out = []
+    for i in range(pyr.num_levels):
+        scale = 1.0 / (2.0**i)
+        if pyr.geo_levels is not None:
+            geo = pyr.geo_levels[i]  # [B, H, W, G, Di]
+            g = geo.shape[-2]
+            pos = disp[..., None] * scale + dx  # [B, H, W, K]
+            pos_g = jnp.broadcast_to(pos[..., None, :], (b, h, w, g, pos.shape[-1]))
+            taps = gather_1d_linear(geo, pos_g)  # [B, H, W, G, K]
+            out.append(taps.reshape(b, h, w, -1))  # group-major flatten
+        corr = pyr.corr_levels[i]  # [B, H, W, W2i]
+        cpos = (coords - disp)[..., None] * scale + dx
+        out.append(gather_1d_linear(corr, cpos))  # [B, H, W, K]
+    return jnp.concatenate(out, axis=-1)
+
+
+def lookup_channels(num_levels: int, radius: int, groups: Optional[int]) -> int:
+    taps = 2 * radius + 1
+    if groups is not None:
+        return num_levels * taps * (groups + 1)
+    return num_levels * taps
