@@ -1,0 +1,153 @@
+"""Command-line entry points.
+
+The reference ships four ~60-flag argparse scripts (train_continuous_IGEV,
+train_continuous_Raft, evaluation, evaluation_validate); here one CLI maps
+a compact flag set onto the typed Config.  Usage:
+
+  python -m anystereo_tpu.cli train --core igev --datasets sceneflow \
+      --data-root /datasets/sceneflow --multi-scale
+  python -m anystereo_tpu.cli evaluate --dataset kitti15 --ckpt ckpts/
+  python -m anystereo_tpu.cli bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+import sys
+
+
+def _model_cfg(args):
+    from anystereo_tpu.config import (
+        AggregationType,
+        CoreType,
+        LiifConfig,
+        ModelConfig,
+    )
+
+    return ModelConfig(
+        core=CoreType(args.core),
+        max_disp=args.max_disp,
+        corr_levels=args.corr_levels if args.corr_levels else (2 if args.core == "igev" else 4),
+        corr_radius=args.corr_radius,
+        n_gru_layers=args.n_gru_layers,
+        agg_type=AggregationType(args.agg_type),
+        slow_fast_gru=args.slow_fast_gru,
+        liif=LiifConfig(),
+    )
+
+
+def _add_model_flags(p):
+    p.add_argument("--core", choices=["igev", "raft"], default="igev")
+    p.add_argument("--max-disp", type=int, default=192)
+    p.add_argument("--corr-levels", type=int, default=None)
+    p.add_argument("--corr-radius", type=int, default=4)
+    p.add_argument("--n-gru-layers", type=int, default=3)
+    p.add_argument("--agg-type", default="type5")
+    p.add_argument("--slow-fast-gru", action="store_true")
+
+
+def cmd_train(argv):
+    p = argparse.ArgumentParser("anystereo train")
+    _add_model_flags(p)
+    p.add_argument("--datasets", nargs="+", default=["sceneflow"])
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--num-steps", type=int, default=100_000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--train-iters", type=int, default=16)
+    p.add_argument("--multi-scale", action="store_true", default=True)
+    p.add_argument("--inp-size", type=int, nargs=2, default=[160, 320])
+    p.add_argument("--scale-min", type=float, default=1.0)
+    p.add_argument("--scale-max", type=float, default=2.95)
+    p.add_argument("--supervise-init", action="store_true")
+    p.add_argument("--ckpt-dir", default="checkpoints")
+    p.add_argument("--num-workers", type=int, default=8)
+    args = p.parse_args(argv)
+
+    from anystereo_tpu.config import Config, DataConfig, TrainConfig
+    from anystereo_tpu.data.augment import AugmentorConfig
+    from anystereo_tpu.data.datasets import fetch_dataset
+    from anystereo_tpu.data.loader import PrefetchLoader
+    from anystereo_tpu.train.trainer import train
+
+    cfg = Config(
+        model=_model_cfg(args),
+        train=TrainConfig(
+            lr=args.lr,
+            num_steps=args.num_steps,
+            batch_size=args.batch_size,
+            train_iters=args.train_iters,
+            multi_scale=args.multi_scale,
+            inp_size=tuple(args.inp_size),
+            scale_min=args.scale_min,
+            scale_max=args.scale_max,
+            supervise_init=args.supervise_init,
+            ckpt_dir=args.ckpt_dir,
+        ),
+    )
+    aug = AugmentorConfig(crop_size=(args.inp_size[0], args.inp_size[1]))
+    roots = {name: args.data_root for name in
+             ("sceneflow", "kitti12", "kitti15", "middlebury", "eth3d",
+              "sintel", "falling_things", "tartanair")}
+    dataset = fetch_dataset(
+        args.datasets, roots, aug,
+        multi_scale=args.multi_scale,
+        scale_min=args.scale_min, scale_max=args.scale_max,
+        inp_size=tuple(args.inp_size),
+    )
+    loader = PrefetchLoader(
+        dataset, cfg.train.batch_size, num_workers=args.num_workers,
+        seed=cfg.train.seed,
+    )
+    train(cfg, loader)
+
+
+def cmd_evaluate(argv):
+    p = argparse.ArgumentParser("anystereo evaluate")
+    _add_model_flags(p)
+    p.add_argument("--dataset", default="sceneflow",
+                   choices=["sceneflow", "kitti15", "kitti12", "eth3d",
+                            "middlebury_F", "middlebury_H", "middlebury_Q"])
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--valid-iters", type=int, default=32)
+    p.add_argument("--scale-test", type=float, default=1.0)
+    args = p.parse_args(argv)
+
+    from anystereo_tpu.eval.validate import run_validation
+
+    results = run_validation(
+        model_cfg=_model_cfg(args),
+        ckpt_dir=args.ckpt,
+        dataset=args.dataset,
+        data_root=args.data_root,
+        valid_iters=args.valid_iters,
+        scale_test=args.scale_test,
+    )
+    for k, v in sorted(results.items()):
+        print(f"{k}: {v:.4f}")
+
+
+def cmd_bench(argv):
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path("bench.py", run_name="__main__")
+
+
+def main():
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)-7s [%(filename)s:%(lineno)d] %(message)s",
+    )
+    cmds = {"train": cmd_train, "evaluate": cmd_evaluate, "bench": cmd_bench}
+    if len(sys.argv) < 2 or sys.argv[1] not in cmds:
+        print(f"usage: python -m anystereo_tpu.cli {{{'|'.join(cmds)}}} ...")
+        return 2
+    return cmds[sys.argv[1]](sys.argv[2:])
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)

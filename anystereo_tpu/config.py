@@ -112,9 +112,15 @@ class ModelConfig:
     gwc_groups: int = 8
     fnet_dim: int = 256  # RAFT matching-feature dim
     liif: LiifConfig = dataclasses.field(default_factory=LiifConfig)
-    # Norms.  2D "batch" sites in the reference run frozen (see NormType);
-    # the 3D hourglass used live BatchNorm3d — stateless INSTANCE here.
-    norm_2d: NormType = NormType.FROZEN_BATCH
+    # Norms at the sites where the reference used BatchNorm.  The reference
+    # relies on pretrained timm statistics and freezes every BatchNorm2d for
+    # the whole run (train_continuous_IGEV.py:203); training from scratch
+    # that is a no-op affine, so the TPU build defaults to stateless
+    # GroupNorm (trainable, mesh-friendly).  FROZEN_BATCH reproduces the
+    # reference regime for converted-torch-weight parity.  IN sites
+    # (matching encoders/stems) are instance-norm unconditionally, as in the
+    # reference.  The 3D hourglass used live BatchNorm3d — INSTANCE here.
+    norm_2d: NormType = NormType.GROUP
     norm_3d: NormType = NormType.INSTANCE
     # Precision policy: bf16 compute, fp32 params, fp32 lookup/regression.
     compute_dtype: str = "bfloat16"

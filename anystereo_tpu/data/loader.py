@@ -1,0 +1,97 @@
+"""Background-prefetching batch loader (no torch dependency).
+
+The reference uses torch DataLoader with 8 worker processes
+(stereo_datasets.py:537-538); here a thread pool decodes/augments samples
+(cv2/PIL release the GIL for the heavy work) and a bounded queue overlaps
+host data work with device steps.  Static shapes by construction (fixed
+crop / fixed sample_q), so every batch hits the same compiled program.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate_batch(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+class PrefetchLoader:
+    """Iterate shuffled batches forever (drop_last semantics).
+
+    Each epoch reshuffles with a per-epoch seed derived from `seed`; each
+    sample gets its own RandomState so augmentation is reproducible and
+    thread-order independent (the per-worker reseed of
+    stereo_datasets.py:90-96 made deterministic).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        num_workers: int = 8,
+        seed: int = 0,
+        prefetch: int = 4,
+        shuffle: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(num_workers, 1)
+        self.seed = seed
+        self.prefetch = prefetch
+        self.shuffle = shuffle
+
+    def __len__(self) -> int:
+        return len(self.dataset) // self.batch_size
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(idx)
+        n = (len(idx) // self.batch_size) * self.batch_size
+        return idx[:n]
+
+    def _sample(self, index: int, sample_seed: int) -> Dict[str, np.ndarray]:
+        rng = np.random.RandomState(sample_seed)
+        return self.dataset.__getitem__(int(index), rng=rng)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            epoch = 0
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                while not stop.is_set():
+                    idx = self._epoch_indices(epoch)
+                    for b0 in range(0, len(idx), self.batch_size):
+                        if stop.is_set():
+                            return
+                        chunk = idx[b0 : b0 + self.batch_size]
+                        seeds = [
+                            self.seed * 1_000_003 + epoch * 10_007 + int(i)
+                            for i in chunk
+                        ]
+                        samples = list(pool.map(self._sample, chunk, seeds))
+                        out_q.put(collate_batch(samples))
+                    epoch += 1
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                yield out_q.get()
+        finally:
+            stop.set()
+            # drain so the producer can exit a blocking put
+            try:
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass

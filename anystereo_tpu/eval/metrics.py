@@ -1,0 +1,100 @@
+"""Evaluation metrics — the reference's exact semantics
+(metrics_utils/metrics.py):
+
+  * epe_metric (:84-90): masked mean-L1, averaged per image then over the
+    batch (the `make_iterative_func` decorator, :22-30);
+  * d1_metric (:66-72): error > 3 px AND > 5% of |gt|;
+  * thres_metric (:74-81): error > t px;
+  * the `_filter` rule (:44-64): a (mask-pair, image) contributes only when
+    the evaluated mask covers ≥ 1% of the valid GT pixels.
+
+All return fp32 scalars; inputs are [B, H, W] (or [B, Q]) arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _per_image_masked_mean(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean over valid pixels per image, then mean over images that have any
+    valid pixel (the reference averages per-image via the decorator)."""
+    m = mask.astype(jnp.float32)
+    axes = tuple(range(1, value.ndim))
+    per_img = (value * m).sum(axes) / jnp.maximum(m.sum(axes), 1.0)
+    has = (m.sum(axes) > 0).astype(jnp.float32)
+    return (per_img * has).sum() / jnp.maximum(has.sum(), 1.0)
+
+
+def epe_metric(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    return _per_image_masked_mean(jnp.abs(pred - gt), mask)
+
+
+def d1_metric(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    err = jnp.abs(pred - gt)
+    bad = (err > 3.0) & (err > 0.05 * jnp.abs(gt))
+    return _per_image_masked_mean(bad.astype(jnp.float32), mask)
+
+
+def thres_metric(
+    pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, thres: float
+) -> jnp.ndarray:
+    err = jnp.abs(pred - gt)
+    return _per_image_masked_mean((err > thres).astype(jnp.float32), mask)
+
+
+def mask_cover_ok(mask: jnp.ndarray, valid: jnp.ndarray, frac: float = 0.01) -> bool:
+    """The `_filter` rule (metrics.py:44-64): evaluate a sub-mask (e.g. occ)
+    only if it covers ≥ frac of the valid GT pixels."""
+    return bool(mask.sum() >= frac * max(float(valid.sum()), 1.0))
+
+
+def compute_metrics(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    valid: jnp.ndarray,
+    occ: Optional[jnp.ndarray] = None,
+) -> Dict[str, float]:
+    """The full per-image metric set the validators emit
+    (evaluation_validate.py:289-305): EPE/D1/Thres{1,2,3} over all valid
+    pixels and, when an occlusion mask is given, over occ/noc subsets
+    (subject to the 1% cover filter)."""
+    out = {}
+
+    def add(suffix, m):
+        out[f"epe{suffix}"] = float(epe_metric(pred, gt, m))
+        out[f"d1{suffix}"] = float(d1_metric(pred, gt, m))
+        for t in (1.0, 2.0, 3.0):
+            out[f"thres{int(t)}{suffix}"] = float(thres_metric(pred, gt, m, t))
+
+    add("", valid)
+    if occ is not None:
+        occ_m = valid & occ
+        noc_m = valid & ~occ
+        if mask_cover_ok(occ_m, valid):
+            add("_occ", occ_m)
+        if mask_cover_ok(noc_m, valid):
+            add("_noc", noc_m)
+    return out
+
+
+class AverageMeterDict:
+    """Running means over per-image metric dicts
+    (metrics_utils/experiment.py:112-153)."""
+
+    def __init__(self):
+        self.sums: Dict[str, float] = {}
+        self.counts: Dict[str, int] = {}
+
+    def update(self, d: Dict[str, float]) -> None:
+        for k, v in d.items():
+            if v is None or not np.isfinite(v):
+                continue
+            self.sums[k] = self.sums.get(k, 0.0) + float(v)
+            self.counts[k] = self.counts.get(k, 0) + 1
+
+    def mean(self) -> Dict[str, float]:
+        return {k: self.sums[k] / self.counts[k] for k in self.sums}

@@ -1,0 +1,182 @@
+"""Held-out-split validators — the reference's evaluation protocol
+(evaluation_validate.py:121-533) on the TPU model.
+
+Per image: pad to divisibility (32; 16 for non-IGEV multi-scale models,
+:74-77), run the model in eval mode with valid_iters GRU iterations, decode
+at the ORIGINAL resolution through the query path, mask, and aggregate
+EPE/D1/Thres{1,2,3} per image (AverageMeterDict).  The arbitrary-scale
+protocol (pad_for_multi_train, :66-90) bicubic-downscales the inputs by
+scale_test and queries the original-resolution grid, exercising the
+implicit decoder's super-resolution path.
+
+Occlusion splits: KITTI compares disp_occ vs disp_noc GT (:271-282);
+Middlebury/ETH3D use mask0nocc (=the reader's valid); SceneFlow uses the
+LR-consistency check (eval.occlusion.occ_mask) when right-view GT exists.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from functools import lru_cache
+from typing import Dict, Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anystereo_tpu.config import CoreType, ModelConfig
+from anystereo_tpu.eval.metrics import AverageMeterDict, compute_metrics
+from anystereo_tpu.eval.padder import InputPadder
+from anystereo_tpu.nn.model import AnyStereo
+from anystereo_tpu.ops.coords import make_coord
+
+log = logging.getLogger(__name__)
+
+
+def pad_for_queries(left, right, scale_test: float, divis: int):
+    """pad_for_multi_train (evaluation_validate.py:66-90): downscale inputs
+    by scale_test, pad to divisibility, build queries covering the original
+    (unpadded, full-res) pixel grid inside the padded coordinate frame.
+
+    left/right: [1, H, W, 3] numpy.  Returns (left_pad, right_pad,
+    coords [1, H*W, 2], scale).
+    """
+    assert scale_test > 0.99
+    h_want, w_want = left.shape[1:3]
+    h_lr = int(math.ceil(h_want / float(scale_test)))
+    w_lr = int(math.ceil(w_want / float(scale_test)))
+    if scale_test > 1:
+        left = cv2.resize(left[0], (w_lr, h_lr), interpolation=cv2.INTER_CUBIC)[None]
+        right = cv2.resize(right[0], (w_lr, h_lr), interpolation=cv2.INTER_CUBIC)[None]
+    padder = InputPadder(left.shape, divis_by=divis)
+    left_p, right_p = padder.pad(jnp.asarray(left), jnp.asarray(right))
+    t, b, l, r = padder.get_pad_num()
+    h_hr_pad = round(left_p.shape[1] * scale_test)
+    w_hr_pad = round(left_p.shape[2] * scale_test)
+    grid = np.asarray(make_coord((h_hr_pad, w_hr_pad), flatten=False))
+    if scale_test > 1:
+        t, b, l, r = (round(i * scale_test) for i in (t, b, l, r))
+    grid = grid[t : h_hr_pad - b, l : w_hr_pad - r]
+    if grid.shape[:2] != (h_want, w_want):
+        # off-by-rounding fix-up (evaluation_validate.py:87-89)
+        grid = cv2.resize(grid, (w_want, h_want), interpolation=cv2.INTER_LINEAR)
+    coords = grid.reshape(1, h_want * w_want, 2)
+    return left_p, right_p, jnp.asarray(coords), float(scale_test)
+
+
+class Validator:
+    """Caches one jitted eval function per padded shape (per-image loop has
+    a handful of shape buckets per dataset)."""
+
+    def __init__(self, model: AnyStereo, params, valid_iters: int = 32):
+        self.model = model
+        self.params = params
+        self.valid_iters = valid_iters
+        self._fns = {}
+
+    def _fn(self, shape, q):
+        key = (shape, q)
+        if key not in self._fns:
+            iters = self.valid_iters
+
+            def f(params, left, right, coords, scale):
+                out = self.model.apply(
+                    {"params": params}, left, right, iters=iters, coords=coords,
+                    scale=scale, mode="eval",
+                )
+                return out.disp_final
+
+            self._fns[key] = jax.jit(f)
+        return self._fns[key]
+
+    def infer(self, left: np.ndarray, right: np.ndarray, scale_test: float = 1.0,
+              divis: int = 32) -> np.ndarray:
+        """left/right [H, W, 3] → disparity [H, W] at original resolution."""
+        h, w = left.shape[:2]
+        lp, rp, coords, s = pad_for_queries(
+            left[None].astype(np.float32), right[None].astype(np.float32),
+            scale_test, divis,
+        )
+        fn = self._fn(tuple(lp.shape), coords.shape[1])
+        disp = fn(self.params, lp, rp, coords, jnp.asarray([s], jnp.float32))
+        return np.asarray(disp).reshape(h, w)
+
+
+def validate_dataset(
+    model: AnyStereo,
+    params,
+    dataset,
+    valid_iters: int = 32,
+    scale_test: float = 1.0,
+    divis: int = 32,
+    max_disp: float = 1000.0,
+    max_images: Optional[int] = None,
+) -> Dict[str, float]:
+    """Generic per-image validation driver over a StereoDataset (no
+    augmentor).  `dataset` must yield full-resolution samples."""
+    vd = Validator(model, params, valid_iters)
+    meter = AverageMeterDict()
+    n = len(dataset) if max_images is None else min(len(dataset), max_images)
+    for i in range(n):
+        img1, img2, flow, valid = dataset._load_raw(i)
+        gt = flow[..., 0]
+        pred = vd.infer(img1, img2, scale_test, divis)
+        vmask = (np.asarray(valid) > 0) & (gt > 0) & (gt < max_disp)
+        m = compute_metrics(
+            jnp.asarray(pred)[None], jnp.asarray(gt)[None], jnp.asarray(vmask)[None]
+        )
+        meter.update(m)
+        if (i + 1) % 20 == 0:
+            log.info("validate %d/%d: %s", i + 1, n, meter.mean())
+    return meter.mean()
+
+
+def run_validation(
+    model_cfg: ModelConfig,
+    ckpt_dir: str,
+    dataset: str,
+    data_root: str,
+    valid_iters: int = 32,
+    scale_test: float = 1.0,
+    max_images: Optional[int] = None,
+) -> Dict[str, float]:
+    """CLI wrapper: build dataset + model, restore weights, validate."""
+    from anystereo_tpu.data.datasets import (
+        ETH3D,
+        KittiMixed,
+        Middlebury,
+        SceneFlowDataset,
+    )
+    from anystereo_tpu.train.state import restore_params_only
+
+    if dataset == "sceneflow":
+        ds = SceneFlowDataset(data_root, aug=None, things_test=True)
+    elif dataset == "kitti15":
+        ds = KittiMixed(data_root, data_root, aug=None, mode="valid_15")
+    elif dataset == "kitti12":
+        ds = KittiMixed(data_root, data_root, aug=None, mode="valid_12")
+    elif dataset.startswith("middlebury_"):
+        ds = Middlebury(data_root, aug=None, split=dataset.split("_")[1])
+    elif dataset == "eth3d":
+        ds = ETH3D(data_root, aug=None)
+    else:
+        raise ValueError(dataset)
+
+    model = AnyStereo(model_cfg)
+    sample1, sample2, _, _ = ds._load_raw(0)
+    lp, rp, coords, s = pad_for_queries(
+        sample1[None].astype(np.float32), sample2[None].astype(np.float32),
+        scale_test, 32,
+    )
+    variables = jax.jit(
+        lambda k: model.init(
+            k, lp, rp, iters=1, coords=coords, scale=jnp.asarray([s])
+        )
+    )(jax.random.PRNGKey(0))
+    params = restore_params_only(ckpt_dir, variables["params"])
+    divis = 32 if model_cfg.core is CoreType.IGEV else 16
+    return validate_dataset(
+        model, params, ds, valid_iters, scale_test, divis, max_images=max_images
+    )

@@ -1,0 +1,192 @@
+"""LIIF-style implicit decoder — the paper's novelty: per-query MLP weights
+that combine a 3x3 (or 4-tap) neighborhood of the low-res disparity at any
+continuous output scale.
+
+Spec: models/coreContinuous_IGEV/liif.py — liif_out_multi_scale_Training
+(:575-678), liif_feat_multiscale_train (:108-137), AffinityFeature /
+StructureFeature "ISU" (:417-572), SpatialEncoding (:305-337), MLP (:9-25).
+
+Notes vs the reference:
+  * the fixed-target-size `liif_out` path (:340-414) is expressed as the
+    same decoder evaluated on a dense `make_coord` grid — the reference's
+    separate class has an inconsistent input-width wiring (encoder_dim 80 vs
+    actual 176-ch input) and is unreachable in its proven config;
+  * AffinityFeature pads with `win//2` regardless of dilation (liif.py:424,
+    which shrinks maps for dilation > 1 and would break concat) — here the
+    pad is `dilation * win//2` so multi-dilation ISU modes are usable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from anystereo_tpu.config import IsuMode, LiifConfig, PosEncType
+from anystereo_tpu.ops.sampling import nearest_latent_coords, nearest_sample
+
+Dtype = Any
+
+
+def affinity_features(
+    feat: jnp.ndarray, win: Tuple[int, int] = (3, 3), dilation: int = 1
+) -> jnp.ndarray:
+    """Intra-scale similarity: cosine of each pixel with its (win_h x win_w
+    - 1) neighbors at the given dilation, clamped at 0 (AffinityFeature,
+    liif.py:417-446).  feat: [B,H,W,C] → [B,H,W,win_h*win_w-1]."""
+    wh, ww = win
+    norm = jnp.sqrt((feat * feat).sum(axis=-1, keepdims=True))
+    fn = feat / jnp.maximum(norm, 1e-12)  # F.normalize semantics
+    b, h, w, c = feat.shape
+    py, px = dilation * (wh // 2), dilation * (ww // 2)
+    padded = jnp.pad(fn, ((0, 0), (py, py), (px, px), (0, 0)))
+    outs = []
+    for ky in range(wh):
+        for kx in range(ww):
+            if ky == wh // 2 and kx == ww // 2:
+                continue  # drop the center tap (liif.py:440-441)
+            oy, ox = ky * dilation, kx * dilation
+            shifted = padded[:, oy : oy + h, ox : ox + w]
+            outs.append((fn * shifted).sum(axis=-1))
+    aff = jnp.stack(outs, axis=-1)
+    return jnp.maximum(aff, 0.0)
+
+
+class StructureFeature(nn.Module):
+    """ISU feature augmentation per latent (StructureFeature, liif.py:448-572;
+    default mode with_v2ISU at :496-499: single dilation-1 affinity computed
+    on stop_gradient(features), concatenated)."""
+
+    mode: IsuMode
+    win: Tuple[int, int] = (3, 3)
+    dilations: Sequence[int] = (1, 2, 4, 8)
+
+    @nn.compact
+    def __call__(self, x):
+        if self.mode is IsuMode.NONE:
+            return x
+        if self.mode is IsuMode.WITH_ISU:
+            return jnp.concatenate([x, affinity_features(x, self.win, self.dilations[0])], axis=-1)
+        if self.mode is IsuMode.WITH_V2_ISU:
+            f = jax.lax.stop_gradient(x)
+            return jnp.concatenate([x, affinity_features(f, self.win, self.dilations[0])], axis=-1)
+        if self.mode is IsuMode.ONLY_ISU:
+            return affinity_features(x, self.win, self.dilations[0])
+        if self.mode is IsuMode.WITH_3V2_ISU:
+            f = jax.lax.stop_gradient(x)
+            affs = [affinity_features(f, self.win, d) for d in self.dilations[:3]]
+            return jnp.concatenate([x] + affs, axis=-1)
+        raise ValueError(self.mode)
+
+
+def isu_extra_channels(cfg: LiifConfig) -> int:
+    in_c = cfg.isu_window[0] * cfg.isu_window[1] - 1
+    if cfg.isu_mode is IsuMode.NONE:
+        return 0
+    if cfg.isu_mode is IsuMode.WITH_3V2_ISU:
+        return 3 * in_c
+    return in_c  # with/only single-dilation modes add (or become) in_c
+
+
+class SpatialEncoding(nn.Module):
+    """Log-spaced Fourier features [x, sin(xMᵀ), cos(xMᵀ)] (liif.py:305-337)."""
+
+    out_dim: int
+    sigma: float = 6.0
+    learnable: bool = True  # require_grad default True (trainer flag :349)
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        assert self.out_dim % (2 * in_dim) == 0
+        n = self.out_dim // 2 // in_dim
+        m = 2.0 ** np.linspace(0, self.sigma, n)
+        m = np.stack([m] + [np.zeros_like(m)] * (in_dim - 1), axis=-1)
+        m = np.concatenate([np.roll(m, i, axis=-1) for i in range(in_dim)], axis=0)
+        if self.learnable:
+            emb = self.param("emb", lambda k: jnp.asarray(m, jnp.float32))
+        else:
+            emb = jnp.asarray(m, x.dtype)
+        y = x @ emb.T.astype(x.dtype)
+        return jnp.concatenate([x, jnp.sin(y), jnp.cos(y)], axis=-1)
+
+
+class Mlp(nn.Module):
+    """Plain Dense+ReLU stack (liif.py:9-25)."""
+
+    hidden: Sequence[int]
+    out_dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for h in self.hidden:
+            x = nn.relu(nn.Dense(h, dtype=self.dtype)(x))
+        return nn.Dense(self.out_dim, dtype=self.dtype)(x)
+
+
+class LiifDecoder(nn.Module):
+    """Query-based decoder (liif_out_multi_scale_Training, liif.py:575-678).
+
+    Call with a list of latent maps (any resolutions), normalized (y, x)
+    query coords and the per-sample scale; returns per-query mixing weights
+    [B, Q, taps] (softmax applied by the caller, as in
+    continuous_IGEVstereo.py:212).
+    """
+
+    cfg: LiifConfig
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        feats: List[jnp.ndarray],
+        coords: jnp.ndarray,
+        scale: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        b, q, _ = coords.shape
+        pieces = []
+        for i, feat in enumerate(feats):
+            fh, fw = feat.shape[1], feat.shape[2]
+            feat = StructureFeature(
+                cfg.isu_mode, cfg.isu_window, cfg.isu_dilations, name=f"isu_{i}"
+            )(feat)
+            cl = jnp.clip(coords, -1 + 1e-6, 1 - 1e-6)
+            q_feat = nearest_sample(feat, cl)  # [B, Q, C_i]
+            q_coord = nearest_latent_coords(cl, fh, fw)  # [B, Q, 2]
+            rel = (coords - q_coord) * jnp.asarray(
+                [fh, fw], coords.dtype
+            )  # liif.py:127-129
+            if cfg.pos_enc is PosEncType.SPATIAL and cfg.pos_dim > 0:
+                rel = SpatialEncoding(cfg.pos_dim, name=f"posenc_{i}")(rel)
+            piece = [q_feat, rel.astype(q_feat.dtype)]
+            if cfg.decode_cell:
+                assert scale is not None
+                cell = jnp.broadcast_to(
+                    (2.0 / scale).reshape(b, 1, 1), (b, q, 2)
+                ).astype(q_feat.dtype)
+                piece.append(cell)
+            pieces.append(jnp.concatenate(piece, axis=-1))
+        latent = jnp.concatenate(pieces, axis=-1)
+        return Mlp(cfg.mlp_hidden, cfg.taps, dtype=self.dtype, name="imnet")(latent)
+
+
+def decoder_input_dim(cfg: LiifConfig, channel_list: Sequence[int]) -> int:
+    """Static input width of the decoder MLP, for shape checks
+    (liif.py:597-642 bookkeeping)."""
+    n = len(channel_list)
+    dim = sum(channel_list)
+    extra = isu_extra_channels(cfg)
+    if cfg.isu_mode is IsuMode.ONLY_ISU:
+        dim = extra * n
+    else:
+        dim += extra * n
+    pos = 2 if cfg.pos_enc is PosEncType.NONE or cfg.pos_dim == 0 else cfg.pos_dim + 2
+    dim += pos * n
+    if cfg.decode_cell:
+        dim += 2 * n
+    return dim

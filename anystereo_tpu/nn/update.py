@@ -1,0 +1,148 @@
+"""Iterative refinement: motion encoder, multi-level coupled ConvGRUs and
+the disparity head.
+
+Spec: models/coreContinuous_IGEV/update.py (ConvGRU :26-41 with context
+biases added inside the gates, BasicMotionEncoder :73-92, pool2x/interp
+:94-102, BasicMultiUpdateBlock :104-136).  The only IGEV/RAFT difference is
+the motion-encoder input width (162 vs 36 lookup channels).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from anystereo_tpu.ops.sampling import avg_pool2d, interp_bilinear
+
+Dtype = Any
+
+
+def _conv3(features, dtype, name=None):
+    return nn.Conv(
+        features, (3, 3), padding=((1, 1), (1, 1)), dtype=dtype, name=name
+    )
+
+
+class ConvGRU(nn.Module):
+    """update.py:26-41.  Context gate biases (cz, cr, cq) are precomputed
+    once outside the GRU loop (continuous_IGEVstereo.py:103,273) and added
+    inside the sigmoid/tanh."""
+
+    hidden_dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, h, context, *inputs):
+        cz, cr, cq = context
+        x = jnp.concatenate(list(inputs), axis=-1)
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(_conv3(self.hidden_dim, self.dtype, "convz")(hx) + cz)
+        r = nn.sigmoid(_conv3(self.hidden_dim, self.dtype, "convr")(hx) + cr)
+        q = jnp.tanh(
+            _conv3(self.hidden_dim, self.dtype, "convq")(
+                jnp.concatenate([r * h, x], axis=-1)
+            )
+            + cq
+        )
+        return (1.0 - z) * h + z * q
+
+
+class BasicMotionEncoder(nn.Module):
+    """update.py:73-92: lookup features + current disparity → 128-ch motion
+    features (last channel is the raw disparity)."""
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, disp, corr):
+        # disp: [B,H,W,1] (fp32, cast in); corr: [B,H,W,C_lookup]
+        c = nn.relu(nn.Conv(64, (1, 1), dtype=self.dtype, name="convc1")(corr))
+        c = nn.relu(_conv3(64, self.dtype, "convc2")(c))
+        d = nn.relu(
+            nn.Conv(64, (7, 7), padding=((3, 3), (3, 3)), dtype=self.dtype,
+                    name="convd1")(disp)
+        )
+        d = nn.relu(_conv3(64, self.dtype, "convd2")(d))
+        out = nn.relu(
+            _conv3(127, self.dtype, "conv")(jnp.concatenate([c, d], axis=-1))
+        )
+        return jnp.concatenate([out, disp.astype(out.dtype)], axis=-1)
+
+
+class DispHead(nn.Module):
+    """update.py:16-24: two 3x3 convs with a 256-wide hidden layer → Δdisp."""
+
+    hidden: int = 256
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.relu(_conv3(self.hidden, self.dtype, "conv1")(x))
+        return _conv3(1, self.dtype, "conv2")(y)
+
+
+def pool2x(x):
+    return avg_pool2d(x, 3, 2, 1)
+
+
+def pool4x(x):
+    return avg_pool2d(x, 5, 4, 1)
+
+
+class BasicMultiUpdateBlock(nn.Module):
+    """update.py:104-136.  net: list of hidden states ordered [1/4, 1/8,
+    1/16]; context: per-level (cz, cr, cq) gate biases.  Coupling: each GRU
+    sees the pooled finer state and the upsampled coarser state."""
+
+    hidden_dims: Sequence[int] = (128, 128, 128)  # indexed [2]=1/4 as in ref
+    n_layers: int = 3
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        net: List[jnp.ndarray],
+        context,
+        corr=None,
+        disp=None,
+        iter04: bool = True,
+        iter08: bool = True,
+        iter16: bool = True,
+        update: bool = True,
+    ):
+        net = list(net)
+        if iter16 and self.n_layers == 3:
+            net[2] = ConvGRU(self.hidden_dims[0], self.dtype, name="gru16")(
+                net[2], context[2], pool2x(net[1])
+            )
+        if iter08 and self.n_layers >= 2:
+            if self.n_layers > 2:
+                net[1] = ConvGRU(self.hidden_dims[1], self.dtype, name="gru08")(
+                    net[1],
+                    context[1],
+                    pool2x(net[0]),
+                    interp_bilinear(net[2], net[1].shape[1:3]),
+                )
+            else:
+                net[1] = ConvGRU(self.hidden_dims[1], self.dtype, name="gru08")(
+                    net[1], context[1], pool2x(net[0])
+                )
+        if iter04:
+            motion = BasicMotionEncoder(self.dtype, name="encoder")(disp, corr)
+            if self.n_layers > 1:
+                net[0] = ConvGRU(self.hidden_dims[2], self.dtype, name="gru04")(
+                    net[0],
+                    context[0],
+                    motion,
+                    interp_bilinear(net[1], net[0].shape[1:3]),
+                )
+            else:
+                net[0] = ConvGRU(self.hidden_dims[2], self.dtype, name="gru04")(
+                    net[0], context[0], motion
+                )
+        if not update:
+            return net, None
+        delta = DispHead(256, self.dtype, name="disp_head")(net[0])
+        return net, delta

@@ -59,9 +59,32 @@ def build_gwc_volume(
     fl, fr: [B, H, W, C] → [B, H, W, G, D] with
     vol[b,h,w,g,d] = mean_c fl[b,h,w,gc] * fr[b,h,w-d,gc], zero where w < d
     (the reference's zero-initialized triangle, submodule.py:263-269).
+
+    Implemented as a lax.scan over the disparity axis, shifting the right
+    features one column per step — the program size is O(1) in D (a
+    D-unrolled loop of padded slices made XLA compiles of the 48-deep
+    volume pathologically slow).
     """
     b, h, w, c = fl.shape
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
+    cg = c // num_groups
+    fl_g = fl.reshape(b, h, w, num_groups, cg).astype(jnp.float32)
+    fr_g = fr.reshape(b, h, w, num_groups, cg).astype(jnp.float32)
+
+    def step(fr_cur, _):
+        slab = (fl_g * fr_cur).mean(axis=-1)  # [B, H, W, G]
+        fr_next = _shift_right(fr_cur, 1, axis=2)
+        return fr_next, slab
+
+    _, slabs = jax.lax.scan(step, fr_g, None, length=max_disp)  # [D, B, H, W, G]
+    return jnp.moveaxis(slabs, 0, -1)  # [B, H, W, G, D]
+
+
+def build_gwc_volume_unrolled(
+    fl: jnp.ndarray, fr: jnp.ndarray, max_disp: int, num_groups: int
+) -> jnp.ndarray:
+    """Unrolled twin of build_gwc_volume (oracle for parity tests)."""
+    b, h, w, c = fl.shape
     cg = c // num_groups
     fl_g = fl.reshape(b, h, w, num_groups, cg).astype(jnp.float32)
     fr_g = fr.reshape(b, h, w, num_groups, cg).astype(jnp.float32)

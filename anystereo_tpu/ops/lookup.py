@@ -21,11 +21,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from anystereo_tpu.ops.sampling import gather_1d_linear, pool_half_last
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class CorrPyramid:
     """Precomputed lookup pyramids.
@@ -37,7 +39,7 @@ class CorrPyramid:
 
     corr_levels: Tuple[jnp.ndarray, ...]
     geo_levels: Optional[Tuple[jnp.ndarray, ...]]
-    radius: int
+    radius: int = dataclasses.field(metadata=dict(static=True))
 
     @property
     def num_levels(self) -> int:

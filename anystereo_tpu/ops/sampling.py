@@ -61,13 +61,17 @@ def nearest_sample(feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     feat:   [B, H, W, C]
     coords: [B, Q, 2] in [-1, 1], (y, x) order
     returns [B, Q, C]
+
+    Gathers whole channel rows ([1, C] slices) via a vmapped jnp.take —
+    take_along_axis with a broadcast trailing index lowers to Q*C scalar
+    gathers on TPU (measured ~1000x slower at decode sizes).
     """
     _, h, w, _ = feat.shape
     iy = _nearest_indices(coords[..., 0], h)  # [B, Q]
     ix = _nearest_indices(coords[..., 1], w)
     flat = feat.reshape(feat.shape[0], h * w, feat.shape[-1])
     idx = iy * w + ix
-    return jnp.take_along_axis(flat, idx[..., None], axis=1)
+    return jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(flat, idx)
 
 
 def nearest_latent_coords(coords: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
@@ -126,15 +130,18 @@ def avg_pool2d(
 ) -> jnp.ndarray:
     """F.avg_pool2d on NHWC with count_include_pad=True (torch default —
     border windows divide by the full window area)."""
+    # NOTE: init must be a Python scalar so JAX dispatches to the
+    # differentiable reduce_window_sum primitive (a traced zero falls back to
+    # generic reduce_window, which has no transpose rule).
     summed = lax.reduce_window(
         x,
-        jnp.array(0, x.dtype),
+        0.0,
         lax.add,
         window_dimensions=(1, window, window, 1),
         window_strides=(1, stride, stride, 1),
         padding=((0, 0), (padding, padding), (padding, padding), (0, 0)),
     )
-    return summed / jnp.array(window * window, x.dtype)
+    return (summed / (window * window)).astype(x.dtype)
 
 
 def pool_half_last(x: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,56 @@
+"""Device mesh + sharding helpers.
+
+This is the TPU-native replacement for the reference's device story
+(SURVEY.md §2.9): nn.DataParallel scatter/gather and the vestigial NCCL
+process-group become a jax.sharding.Mesh with axes
+
+  * data    — batch sharding for training (gradients reduced by the psum
+              XLA inserts under jit, the DDP-allreduce analog);
+  * spatial — H-tiling of images/cost volumes for high-resolution inference
+              with halo exchange (the reference's "long axis", §5).
+
+Multi-host bring-up is `jax.distributed.initialize()` + the same global
+mesh; nothing else changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from anystereo_tpu.config import MeshConfig
+
+
+def make_mesh(
+    cfg: Optional[MeshConfig] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    cfg = cfg or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    data = cfg.data if cfg.data > 0 else n // max(cfg.spatial, 1)
+    spatial = cfg.spatial
+    if data * spatial != n:
+        # default: all devices on the data axis
+        data, spatial = n, 1
+    arr = np.asarray(devices).reshape(data, spatial)
+    return Mesh(arr, (cfg.data_axis, cfg.spatial_axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, cfg: Optional[MeshConfig] = None) -> NamedSharding:
+    axis = (cfg or MeshConfig()).data_axis
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(batch, mesh: Mesh, cfg: Optional[MeshConfig] = None):
+    """Place every leaf of a host batch with its leading (batch) axis split
+    over the data axis."""
+    sh = batch_sharding(mesh, cfg)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

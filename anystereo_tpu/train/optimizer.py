@@ -1,0 +1,43 @@
+"""Optimizer + LR schedule.
+
+Spec: fetch_optimizer (train_continuous_IGEV.py:125-134): AdamW(lr, wd 1e-5,
+eps 1e-8) under OneCycleLR(max_lr=lr, pct_start 0.01, cycle_momentum False,
+anneal_strategy 'linear', total steps num_steps+100).  Gradient clipping by
+global norm 1.0 happens in the optimizer chain (reference clips manually at
+:234-239); AMP loss scaling is unnecessary in bf16.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def one_cycle_schedule(
+    max_lr: float, total_steps: int, pct_start: float = 0.01
+) -> optax.Schedule:
+    """Linear OneCycle: warm up to max_lr over pct_start, linearly anneal to
+    ~0 (torch OneCycleLR(anneal_strategy='linear') shape).  The reference
+    passes num_steps+100 as the cycle length (:129)."""
+    total = total_steps + 100
+    warm = max(int(total * pct_start), 1)
+    return optax.join_schedules(
+        [
+            optax.linear_schedule(max_lr / 25.0, max_lr, warm),  # torch div_factor=25
+            optax.linear_schedule(max_lr, max_lr / 1e4, total - warm),
+        ],
+        boundaries=[warm],
+    )
+
+
+def make_optimizer(
+    lr: float = 2e-4,
+    weight_decay: float = 1e-5,
+    num_steps: int = 100_000,
+    grad_clip: float = 1.0,
+    pct_start: float = 0.01,
+) -> optax.GradientTransformation:
+    sched = one_cycle_schedule(lr, num_steps, pct_start)
+    return optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay),
+    )

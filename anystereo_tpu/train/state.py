@@ -1,0 +1,116 @@
+"""Train state + checkpointing.
+
+The reference checkpoints model weights only (torch.save(state_dict),
+train_continuous_IGEV.py:243-245) so resume restarts the optimizer and LR
+schedule (SURVEY.md §5).  Here the FULL state (params, opt_state, step) is
+checkpointed with Orbax, multi-host-aware and async-capable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
+        params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=params, opt_state=opt_state)
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+# --------------------------------------------------------------------- #
+# Orbax checkpointing (full state, unlike the reference's weights-only)
+# --------------------------------------------------------------------- #
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, keep: int = 5) -> None:
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.abspath(ckpt_dir)
+    mngr = ocp.CheckpointManager(
+        path, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
+    )
+    mngr.save(
+        int(state.step),
+        args=ocp.args.Composite(
+            params=ocp.args.StandardSave(state.params),
+            opt_state=ocp.args.StandardSave(state.opt_state),
+        ),
+    )
+    mngr.wait_until_finished()
+    mngr.close()
+
+
+def restore_checkpoint(
+    ckpt_dir: str, state: TrainState, step: Optional[int] = None
+) -> TrainState:
+    """Restore params+opt_state into an existing (abstract or concrete)
+    state; filtered partial restore of params-only checkpoints is handled by
+    `restore_params_only`."""
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.abspath(ckpt_dir)
+    mngr = ocp.CheckpointManager(path)
+    step = mngr.latest_step() if step is None else step
+    restored = mngr.restore(
+        step,
+        args=ocp.args.Composite(
+            params=ocp.args.StandardRestore(state.params),
+            opt_state=ocp.args.StandardRestore(state.opt_state),
+        ),
+    )
+    mngr.close()
+    return state.replace(
+        step=jnp.asarray(step, jnp.int32),
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+    )
+
+
+def restore_params_only(ckpt_dir: str, params, step: Optional[int] = None):
+    """Weight-only restore with key filtering against the current model —
+    the reference's restore semantics (train_continuous_IGEV.py:192-200),
+    for warm-starting from a differently-configured run."""
+    import orbax.checkpoint as ocp
+    import os
+
+    path = os.path.abspath(ckpt_dir)
+    mngr = ocp.CheckpointManager(path)
+    step = mngr.latest_step() if step is None else step
+    restored = mngr.restore(
+        step, args=ocp.args.Composite(params=ocp.args.StandardRestore(params))
+    )["params"]
+    mngr.close()
+
+    flat_cur = dict(jax.tree_util.tree_leaves_with_path(params))
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(restored))
+    merged = {
+        k: (flat_new[k] if k in flat_new and flat_new[k].shape == v.shape else v)
+        for k, v in flat_cur.items()
+    }
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [merged[k] for k, _ in jax.tree_util.tree_leaves_with_path(params)]
+    )

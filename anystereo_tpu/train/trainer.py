@@ -1,0 +1,137 @@
+"""The training driver: data → sharded train step → logging → checkpoints →
+periodic validation.
+
+Spec: train() (train_continuous_IGEV.py:183-281): AdamW+OneCycle, grad-clip
+1.0, bf16, checkpoint every valid_fre steps + at the end; Logger console/TB
+running means every sum_fre steps (:137-180).  Differences by design:
+full-state checkpoints (resume keeps the schedule), pjit-DP instead of
+DataParallel, and a host-side prefetch loader.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anystereo_tpu.config import Config
+from anystereo_tpu.nn.model import AnyStereo
+from anystereo_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+from anystereo_tpu.train.optimizer import make_optimizer
+from anystereo_tpu.train.state import TrainState, create_train_state, save_checkpoint
+from anystereo_tpu.train.step import make_train_step
+
+log = logging.getLogger(__name__)
+
+
+class MetricLogger:
+    """Running-mean console/TensorBoard logger (Logger,
+    train_continuous_IGEV.py:137-180)."""
+
+    def __init__(self, log_every: int = 100, tb_dir: Optional[str] = None):
+        self.log_every = log_every
+        self.running: Dict[str, float] = {}
+        self.count = 0
+        self.writer = None
+        if tb_dir is not None:
+            try:
+                from tensorboard.summary.writer.event_file_writer import (
+                    EventFileWriter,  # noqa: F401
+                )
+                import tensorflow as tf  # summary API
+
+                self.writer = tf.summary.create_file_writer(tb_dir)
+            except Exception:  # tensorboard optional
+                log.warning("tensorboard unavailable; console logging only")
+
+    def push(self, step: int, metrics: Dict[str, jnp.ndarray]) -> None:
+        for k, v in metrics.items():
+            self.running[k] = self.running.get(k, 0.0) + float(v)
+        self.count += 1
+        if self.writer is not None:
+            import tensorflow as tf
+
+            with self.writer.as_default():
+                for k, v in metrics.items():
+                    tf.summary.scalar(f"train/{k}", float(v), step=step)
+        if self.count == self.log_every:
+            means = {k: v / self.count for k, v in self.running.items()}
+            log.info(
+                "step %d | %s",
+                step,
+                " ".join(f"{k}={v:.4f}" for k, v in sorted(means.items())),
+            )
+            self.running, self.count = {}, 0
+
+
+def train(
+    cfg: Config,
+    loader,
+    validate_fn: Optional[Callable[[TrainState, int], Dict[str, float]]] = None,
+    state: Optional[TrainState] = None,
+    max_steps: Optional[int] = None,
+) -> TrainState:
+    """Run the training loop.  `loader` yields numpy batches with the
+    make_train_step contract; `validate_fn(state, step)` runs held-out
+    validation (the in-training validate_* of SURVEY §2.7)."""
+    model = AnyStereo(cfg.model)
+    mesh = make_mesh(cfg.mesh) if jax.device_count() > 1 else None
+
+    it = iter(loader)
+    first = next(it)
+
+    if state is None:
+        variables = jax.jit(
+            lambda k, b: model.init(
+                k,
+                b["left"],
+                b["right"],
+                iters=1,
+                coords=b.get("coords"),
+                scale=b.get("scale"),
+            )
+        )(jax.random.PRNGKey(cfg.train.seed), first)
+        n_params = sum(
+            int(np.prod(p.shape))
+            for p in jax.tree_util.tree_leaves(variables["params"])
+        )
+        log.info("parameter count: %.2fM", n_params / 1e6)
+        tx = make_optimizer(
+            cfg.train.lr,
+            cfg.train.weight_decay,
+            cfg.train.num_steps,
+            cfg.train.grad_clip,
+            cfg.train.warmup_frac,
+        )
+        state = create_train_state(variables["params"], tx)
+    if mesh is not None:
+        state = jax.device_put(state, replicated(mesh))
+
+    step_fn = make_train_step(model, cfg.train, mesh=mesh, mesh_cfg=cfg.mesh)
+    logger = MetricLogger(log_every=100)
+
+    total = max_steps or cfg.train.num_steps
+    t0 = time.time()
+    batch = first
+    for i in range(total):
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        state, metrics = step_fn(state, batch)
+        logger.push(int(i), metrics)
+        if (i + 1) % cfg.train.ckpt_every == 0 or i + 1 == total:
+            jax.block_until_ready(state.params)
+            save_checkpoint(cfg.train.ckpt_dir, state)
+            if validate_fn is not None:
+                results = validate_fn(state, i + 1)
+                log.info("validation @%d: %s", i + 1, results)
+        if i + 1 < total:
+            batch = next(it)
+    dt = time.time() - t0
+    log.info(
+        "trained %d steps in %.1fs (%.2f steps/s)", total, dt, total / max(dt, 1e-9)
+    )
+    return state

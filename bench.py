@@ -1,0 +1,90 @@
+"""Benchmark harness — run by the driver on real TPU hardware.
+
+Prints ONE JSON line:
+  {"metric": "stereo_pairs_per_sec", "value": N, "unit": "pairs/s",
+   "vs_baseline": R, ...aux fields...}
+
+Protocol: flagship continuous-IGEV model, eval mode (32 GRU iterations,
+the reference's valid_iters, train_continuous_IGEV.py:302), KITTI-class
+input 384x1248, batch 1, full-resolution LIIF decode — the reference's
+per-image inference timing bracket (evaluation.py:234-236) made precise
+with block_until_ready.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
+documented stand-in is the IGEV-Stereo paper's 0.37 s/frame at KITTI
+resolution on an RTX 3090 → 2.7 pairs/s.  vs_baseline = value / 2.7.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 2.7  # IGEV-Stereo paper, KITTI res, RTX 3090
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from anystereo_tpu.config import ModelConfig
+    from anystereo_tpu.nn.model import AnyStereo, dense_query_coords
+
+    b, h, w = 1, 384, 1248
+    iters = 32
+    cfg = ModelConfig()  # max_disp 192, the reference default
+    model = AnyStereo(cfg)
+
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+    right = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+    coords = dense_query_coords(b, h, w)
+
+    t0 = time.time()
+    variables = jax.jit(
+        lambda k, l, r: model.init(k, l, r, iters=1, coords=coords)
+    )(jax.random.PRNGKey(0), left, right)
+    jax.block_until_ready(variables)
+    init_s = time.time() - t0
+
+    fwd = jax.jit(
+        lambda v, l, r: model.apply(
+            v, l, r, iters=iters, coords=coords, mode="eval"
+        ).disp_final
+    )
+    t0 = time.time()
+    out = jax.block_until_ready(fwd(variables, left, right))
+    compile_s = time.time() - t0
+
+    # steady state
+    n_rep = 5
+    t0 = time.time()
+    for _ in range(n_rep):
+        out = fwd(variables, left, right)
+    jax.block_until_ready(out)
+    per_pair = (time.time() - t0) / n_rep
+    pairs_per_sec = b / per_pair
+
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_pairs_per_sec",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+                "config": f"IGEV eval {h}x{w} iters={iters} maxdisp={cfg.max_disp} bf16",
+                "latency_ms": round(per_pair * 1000, 1),
+                "compile_s": round(compile_s, 1),
+                "init_s": round(init_s, 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,235 @@
+"""Data-pipeline tests on synthetic fixture files: IO round-trips, the
+multi-scale sample contract (static shapes, valid-first sparse packing,
+1/4-res GT scaling), augmentor invariants, and the loader."""
+
+import os
+
+import numpy as np
+import pytest
+
+from anystereo_tpu.data.augment import AugmentorConfig, StereoAugmentor
+from anystereo_tpu.data.datasets import StereoDataset, make_coord_np
+from anystereo_tpu.data.frame_utils import (
+    read_disp_kitti,
+    read_flo,
+    read_gen,
+    read_pfm,
+    write_flo,
+    write_pfm,
+)
+from anystereo_tpu.data.loader import PrefetchLoader, collate_batch
+
+
+class TestFrameIO:
+    def test_pfm_roundtrip(self, tmp_path, rng):
+        arr = rng.rand(37, 53).astype(np.float32) * 100
+        p = str(tmp_path / "d.pfm")
+        write_pfm(p, arr)
+        back = read_pfm(p)
+        np.testing.assert_allclose(back, arr, rtol=1e-6)
+
+    def test_pfm_matches_reference_reader(self, tmp_path, rng):
+        """Our written PFM must parse identically with the reference's
+        readPFM implementation semantics (header, flip, endianness)."""
+        arr = rng.rand(10, 20).astype(np.float32)
+        p = str(tmp_path / "d.pfm")
+        write_pfm(p, arr)
+        with open(p, "rb") as f:
+            assert f.readline().strip() == b"Pf"
+            w, h = map(int, f.readline().split())
+            assert (w, h) == (20, 10)
+            assert float(f.readline()) == -1.0
+
+    def test_flo_roundtrip(self, tmp_path, rng):
+        uv = rng.rand(9, 13, 2).astype(np.float32)
+        p = str(tmp_path / "f.flo")
+        write_flo(p, uv)
+        np.testing.assert_allclose(read_flo(p), uv)
+
+    def test_kitti_png_roundtrip(self, tmp_path):
+        import cv2
+
+        disp = np.zeros((8, 12), np.float32)
+        disp[2:5, 3:7] = 42.5
+        enc = (disp * 256).astype(np.uint16)
+        p = str(tmp_path / "k.png")
+        cv2.imwrite(p, enc)
+        got, valid = read_disp_kitti(p)
+        np.testing.assert_allclose(got, disp)
+        assert valid.sum() == 12  # zeros invalid
+
+    def test_read_gen_png(self, tmp_path, rng):
+        from PIL import Image
+
+        img = (rng.rand(6, 7, 3) * 255).astype(np.uint8)
+        p = str(tmp_path / "i.png")
+        Image.fromarray(img).save(p)
+        np.testing.assert_array_equal(np.asarray(read_gen(p)), img)
+
+
+def _synthetic_dataset(tmp_path, n=4, h=120, w=200, sparse=False, **kw):
+    """Build an on-disk dataset with linear-ramp disparities."""
+    from PIL import Image
+    import cv2
+
+    ds = StereoDataset(
+        aug=AugmentorConfig(crop_size=(64, 128), min_scale=-0.2, max_scale=0.4),
+        sparse=sparse,
+        reader=read_disp_kitti if sparse else None,
+        **kw,
+    )
+    rng = np.random.RandomState(5)
+    for i in range(n):
+        img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        l = str(tmp_path / f"l{i}.png")
+        r = str(tmp_path / f"r{i}.png")
+        Image.fromarray(img).save(l)
+        Image.fromarray(img).save(r)
+        disp = np.tile(np.linspace(5, 40, w, dtype=np.float32), (h, 1))
+        if sparse:
+            d = str(tmp_path / f"d{i}.png")
+            enc = (disp * 256).astype(np.uint16)
+            enc[::3] = 0  # punch sparse holes
+            cv2.imwrite(d, enc)
+        else:
+            d = str(tmp_path / f"d{i}.pfm")
+            write_pfm(d, disp)
+        ds.image_list.append([l, r])
+        ds.disparity_list.append(d)
+    return ds
+
+
+class TestStereoDataset:
+    def test_standard_mode_shapes(self, tmp_path):
+        ds = _synthetic_dataset(tmp_path)
+        s = ds.__getitem__(0, rng=np.random.RandomState(0))
+        assert s["left"].shape == (64, 128, 3)
+        assert s["disp"].shape == (64, 128)
+        assert s["valid"].shape == (64, 128)
+
+    def test_multiscale_mode_contract(self, tmp_path):
+        ds = _synthetic_dataset(
+            tmp_path, multi_scale=True, scale_min=1.0, scale_max=2.0,
+            inp_size=(48, 96),
+        )
+        s = ds.__getitem__(1, rng=np.random.RandomState(3))
+        q = 48 * 96
+        assert s["left"].shape == (48, 96, 3)  # LR input
+        assert s["coords"].shape == (q, 2)
+        assert s["gt"].shape == (q,)
+        assert s["gt_low"].shape == (12, 24)  # inp_size/4
+        assert 1.0 <= float(s["scale"]) <= 2.0
+        assert np.abs(s["coords"]).max() <= 1.0
+        # HR GT is in HR pixel units; gt_low is divided by 4*scale
+        assert s["gt"].max() > 0
+
+    def test_multiscale_static_shapes_across_samples(self, tmp_path):
+        ds = _synthetic_dataset(
+            tmp_path, multi_scale=True, scale_min=1.0, scale_max=2.9,
+            inp_size=(48, 96),
+        )
+        shapes = set()
+        for i in range(4):
+            s = ds.__getitem__(i, rng=np.random.RandomState(i))
+            shapes.add(tuple(s["left"].shape) + tuple(s["coords"].shape))
+        assert len(shapes) == 1  # static under jit regardless of scale
+
+    def test_sparse_valid_first_packing(self, tmp_path):
+        ds = _synthetic_dataset(
+            tmp_path, sparse=True, multi_scale=True, scale_min=1.5,
+            scale_max=1.5, inp_size=(48, 96),
+        )
+        s = ds.__getitem__(0, rng=np.random.RandomState(1))
+        v = s["valid"]
+        # valid-first: once an invalid entry appears, no valid ones follow
+        first_invalid = np.argmin(v) if (v == 0).any() else len(v)
+        assert v[first_invalid:].sum() == 0
+        assert (s["gt"][v > 0] > 0).all()
+
+    def test_mul_and_add(self, tmp_path):
+        ds = _synthetic_dataset(tmp_path)
+        assert len(ds * 3) == 3 * len(ds)
+        assert len(ds + ds) == 2 * len(ds)
+
+    def test_make_coord_np_matches_jax(self):
+        from anystereo_tpu.ops.coords import make_coord
+
+        np.testing.assert_allclose(
+            make_coord_np((7, 9)), np.asarray(make_coord((7, 9))), atol=1e-6
+        )
+
+
+class TestAugmentor:
+    def test_dense_output_shapes_and_types(self, rng):
+        aug = StereoAugmentor(AugmentorConfig(crop_size=(64, 128)))
+        img = (rng.rand(160, 260, 3) * 255).astype(np.uint8)
+        flow = np.dstack([rng.rand(160, 260) * 30, np.zeros((160, 260))]).astype(
+            np.float32
+        )
+        i1, i2, f = aug(img, img.copy(), flow, rng=np.random.RandomState(0))
+        assert i1.shape == (64, 128, 3) and f.shape == (64, 128, 2)
+
+    def test_wocrop_images_downscaled_gt_not(self, rng):
+        """The WoCrop contract (augmentor.py:306-318): images at scale_size,
+        GT stays at crop_size."""
+        aug = StereoAugmentor(AugmentorConfig(crop_size=(64, 128)))
+        img = (rng.rand(300, 400, 3) * 255).astype(np.uint8)
+        flow = np.dstack([rng.rand(300, 400) * 30, np.zeros((300, 400))]).astype(
+            np.float32
+        )
+        i1, i2, f = aug(
+            img, img.copy(), flow, crop_size=(96, 192), scale_size=(48, 96),
+            rng=np.random.RandomState(0),
+        )
+        assert i1.shape == (48, 96, 3)
+        assert f.shape == (96, 192, 2)
+
+    def test_disparity_scales_with_x_resize(self):
+        """After pure x-rescale, disparity must scale by fx (flow * [sx, sy],
+        augmentor.py:135)."""
+        cfg = AugmentorConfig(
+            crop_size=(50, 50), min_scale=1.0, max_scale=1.0,  # scale 2^1 = 2
+            stretch_prob=0.0, yjitter=False,
+        )
+        aug = StereoAugmentor(cfg)
+        aug.cfg = cfg
+        img = np.full((60, 60, 3), 128, np.uint8)
+        flow = np.dstack([np.full((60, 60), 10.0), np.zeros((60, 60))]).astype(
+            np.float32
+        )
+        _, _, f = aug(img, img.copy(), flow, rng=np.random.RandomState(0))
+        np.testing.assert_allclose(f[..., 0], 20.0, rtol=1e-5)
+
+    def test_sparse_resize_scatter(self):
+        aug = StereoAugmentor(AugmentorConfig(), sparse=True)
+        flow = np.zeros((10, 10, 2), np.float32)
+        valid = np.zeros((10, 10), np.int32)
+        flow[5, 5] = [8.0, 0.0]
+        valid[5, 5] = 1
+        f2, v2 = aug._resize_sparse_flow(flow, valid, fx=2.0, fy=2.0)
+        assert f2.shape == (20, 20, 2)
+        assert v2.sum() == 1
+        assert f2[10, 10, 0] == pytest.approx(16.0)
+
+
+class TestLoader:
+    def test_batches_and_shapes(self, tmp_path):
+        ds = _synthetic_dataset(
+            tmp_path, multi_scale=True, scale_min=1.0, scale_max=2.0,
+            inp_size=(48, 96),
+        )
+        loader = PrefetchLoader(ds, batch_size=2, num_workers=2, seed=0)
+        it = iter(loader)
+        b1 = next(it)
+        b2 = next(it)
+        assert b1["left"].shape == (2, 48, 96, 3)
+        assert b1["coords"].shape == (2, 48 * 96, 2)
+        assert b1["scale"].shape == (2,)
+        assert not np.array_equal(b1["left"], b2["left"])
+
+    def test_deterministic_given_seed(self, tmp_path):
+        ds = _synthetic_dataset(tmp_path)
+        a = next(iter(PrefetchLoader(ds, 2, num_workers=2, seed=7)))
+        b = next(iter(PrefetchLoader(ds, 2, num_workers=4, seed=7)))
+        np.testing.assert_array_equal(a["left"], b["left"])
+        np.testing.assert_array_equal(a["disp"], b["disp"])

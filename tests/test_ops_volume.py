@@ -12,6 +12,7 @@ from anystereo_tpu.ops.coords import make_coord
 from anystereo_tpu.ops.cost_volume import (
     all_pairs_correlation,
     build_gwc_volume,
+    build_gwc_volume_unrolled,
     disparity_regression,
 )
 from anystereo_tpu.ops.lookup import build_pyramid, pyramid_lookup
@@ -62,6 +63,14 @@ class TestCostVolumes:
         got = np.asarray(build_gwc_volume(jnp.asarray(fl), jnp.asarray(fr), d, g))
         got_nchw = np.transpose(got, (0, 3, 4, 1, 2))  # [B,H,W,G,D]→[B,G,D,H,W]
         np.testing.assert_allclose(got_nchw, want, rtol=1e-4, atol=1e-5)
+
+    def test_gwc_scan_matches_unrolled(self, rng):
+        b, h, w, c, d, g = 1, 3, 9, 8, 5, 2
+        fl = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        fr = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        a = np.asarray(build_gwc_volume(fl, fr, d, g))
+        bb = np.asarray(build_gwc_volume_unrolled(fl, fr, d, g))
+        np.testing.assert_allclose(a, bb, rtol=1e-5, atol=1e-6)
 
     def test_disparity_regression(self, rng):
         logits = rng.randn(2, 3, 5, 8).astype(np.float32)

@@ -1,0 +1,235 @@
+"""Cross-framework parity: build torch twins of individual modules with the
+REFERENCE's exact definitions (update.py, submodule.py), copy the weights
+via utils.torch_compat, and require near-exact output agreement.  This pins
+our conv/padding/norm conventions to torch semantics end to end."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as TF
+
+import jax
+import jax.numpy as jnp
+
+from anystereo_tpu.utils.torch_compat import (
+    conv_kernel,
+    conv_transpose_kernel,
+    dense_kernel,
+)
+
+RTOL, ATOL = 2e-4, 2e-4
+
+
+def to_nhwc(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+def to_nchw(x):
+    return np.transpose(x, (0, 3, 1, 2))
+
+
+class TestConvTranspose:
+    @pytest.mark.parametrize("k,s,p", [(4, 2, 1), (3, 2, 1), (4, 2, 0)])
+    def test_matches_torch(self, rng, k, s, p):
+        from anystereo_tpu.nn.layers import TorchConvTranspose
+
+        x = rng.randn(2, 7, 9, 5).astype(np.float32)
+        tconv = tnn.ConvTranspose2d(5, 6, k, stride=s, padding=p, bias=False)
+        want = tconv(torch.from_numpy(to_nchw(x))).detach().numpy()
+
+        mod = TorchConvTranspose(6, (k, k), (s, s), (p, p), use_bias=False)
+        params = {
+            "params": {"kernel": jnp.asarray(conv_transpose_kernel(
+                tconv.weight.detach().numpy()))}
+        }
+        got = to_nchw(np.asarray(mod.apply(params, jnp.asarray(x))))
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+class TestConvGRU:
+    def test_matches_reference_convgru(self, rng):
+        """ConvGRU with in-gate context biases (update.py:26-41)."""
+        from anystereo_tpu.nn.update import ConvGRU
+
+        hidden, inp = 16, 24
+        # torch twin, defined as in the reference
+        convz = tnn.Conv2d(hidden + inp, hidden, 3, padding=1)
+        convr = tnn.Conv2d(hidden + inp, hidden, 3, padding=1)
+        convq = tnn.Conv2d(hidden + inp, hidden, 3, padding=1)
+        h = rng.randn(1, 8, 10, hidden).astype(np.float32)
+        x = rng.randn(1, 8, 10, inp).astype(np.float32)
+        cz = rng.randn(1, 8, 10, hidden).astype(np.float32)
+        cr = rng.randn(1, 8, 10, hidden).astype(np.float32)
+        cq = rng.randn(1, 8, 10, hidden).astype(np.float32)
+
+        ht, xt = torch.from_numpy(to_nchw(h)), torch.from_numpy(to_nchw(x))
+        hx = torch.cat([ht, xt], 1)
+        z = torch.sigmoid(convz(hx) + torch.from_numpy(to_nchw(cz)))
+        r = torch.sigmoid(convr(hx) + torch.from_numpy(to_nchw(cr)))
+        q = torch.tanh(
+            convq(torch.cat([r * ht, xt], 1)) + torch.from_numpy(to_nchw(cq))
+        )
+        want = ((1 - z) * ht + z * q).detach().numpy()
+
+        mod = ConvGRU(hidden)
+        params = {
+            "params": {
+                name: {
+                    "kernel": jnp.asarray(conv_kernel(c.weight.detach().numpy())),
+                    "bias": jnp.asarray(c.bias.detach().numpy()),
+                }
+                for name, c in (("convz", convz), ("convr", convr), ("convq", convq))
+            }
+        }
+        got = mod.apply(
+            params,
+            jnp.asarray(h),
+            (jnp.asarray(cz), jnp.asarray(cr), jnp.asarray(cq)),
+            jnp.asarray(x),
+        )
+        np.testing.assert_allclose(to_nchw(np.asarray(got)), want, rtol=RTOL, atol=ATOL)
+
+
+class TestMotionEncoder:
+    def test_matches_reference(self, rng):
+        """BasicMotionEncoder (update.py:73-92), IGEV widths (162 lookup ch)."""
+        from anystereo_tpu.nn.update import BasicMotionEncoder
+
+        cor_planes = 162
+        convc1 = tnn.Conv2d(cor_planes, 64, 1)
+        convc2 = tnn.Conv2d(64, 64, 3, padding=1)
+        convd1 = tnn.Conv2d(1, 64, 7, padding=3)
+        convd2 = tnn.Conv2d(64, 64, 3, padding=1)
+        conv = tnn.Conv2d(128, 127, 3, padding=1)
+
+        disp = rng.randn(1, 6, 8, 1).astype(np.float32)
+        corr = rng.randn(1, 6, 8, cor_planes).astype(np.float32)
+        dt, ct = torch.from_numpy(to_nchw(disp)), torch.from_numpy(to_nchw(corr))
+        c = TF.relu(convc1(ct))
+        c = TF.relu(convc2(c))
+        d = TF.relu(convd1(dt))
+        d = TF.relu(convd2(d))
+        out = TF.relu(conv(torch.cat([c, d], 1)))
+        want = torch.cat([out, dt], 1).detach().numpy()
+
+        mod = BasicMotionEncoder()
+
+        def cp(c):
+            return {
+                "kernel": jnp.asarray(conv_kernel(c.weight.detach().numpy())),
+                "bias": jnp.asarray(c.bias.detach().numpy()),
+            }
+
+        params = {
+            "params": {
+                "convc1": cp(convc1),
+                "convc2": cp(convc2),
+                "convd1": cp(convd1),
+                "convd2": cp(convd2),
+                "conv": cp(conv),
+            }
+        }
+        got = mod.apply(params, jnp.asarray(disp), jnp.asarray(corr))
+        np.testing.assert_allclose(to_nchw(np.asarray(got)), want, rtol=RTOL, atol=ATOL)
+
+
+class TestLayerNorm2d:
+    def test_matches_reference_layernorm(self, rng):
+        """Custom channelwise LayerNorm (submodule.py:149-188)."""
+        from anystereo_tpu.nn.layers import LayerNorm2d
+
+        c = 12
+        x = rng.randn(2, 5, 7, c).astype(np.float32)
+        weight = rng.rand(c).astype(np.float32) + 0.5
+        bias = rng.randn(c).astype(np.float32)
+        xt = torch.from_numpy(to_nchw(x))
+        mu = xt.mean(1, keepdim=True)
+        var = (xt - mu).pow(2).mean(1, keepdim=True)
+        y = (xt - mu) / (var + 1e-6).sqrt()
+        want = (
+            torch.from_numpy(weight).view(1, c, 1, 1) * y
+            + torch.from_numpy(bias).view(1, c, 1, 1)
+        ).numpy()
+
+        mod = LayerNorm2d(c)
+        params = {"params": {"scale": jnp.asarray(weight), "bias": jnp.asarray(bias)}}
+        got = mod.apply(params, jnp.asarray(x))
+        np.testing.assert_allclose(to_nchw(np.asarray(got)), want, rtol=RTOL, atol=ATOL)
+
+
+class TestInstanceNorm:
+    def test_matches_torch(self, rng):
+        from anystereo_tpu.nn.layers import instance_norm
+
+        x = rng.randn(2, 6, 7, 5).astype(np.float32)
+        want = tnn.InstanceNorm2d(5)(torch.from_numpy(to_nchw(x))).numpy()
+        got = to_nchw(np.asarray(instance_norm(jnp.asarray(x))))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestPixelUnshuffle:
+    def test_matches_torch(self, rng):
+        from anystereo_tpu.nn.layers import pixel_unshuffle
+
+        x = rng.randn(2, 8, 10, 3).astype(np.float32)
+        want = tnn.PixelUnshuffle(2)(torch.from_numpy(to_nchw(x))).numpy()
+        got = to_nchw(np.asarray(pixel_unshuffle(jnp.asarray(x), 2)))
+        np.testing.assert_allclose(got, want)
+
+
+class TestStridedConvPositions:
+    def test_stride2_k3_p1_matches_torch(self, rng):
+        """Even-size stride-2 conv positions differ between XLA 'SAME' and
+        torch pad=1; our explicit padding must match torch."""
+        from flax import linen as nn
+
+        x = rng.randn(1, 8, 8, 4).astype(np.float32)
+        tconv = tnn.Conv2d(4, 6, 3, stride=2, padding=1, bias=False)
+        want = tconv(torch.from_numpy(to_nchw(x))).detach().numpy()
+        mod = nn.Conv(6, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                      use_bias=False)
+        params = {"params": {"kernel": jnp.asarray(
+            conv_kernel(tconv.weight.detach().numpy()))}}
+        got = to_nchw(np.asarray(mod.apply(params, jnp.asarray(x))))
+        assert got.shape == want.shape == (1, 6, 4, 4)
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+class TestDense:
+    def test_mlp_layer_matches_linear(self, rng):
+        lin = tnn.Linear(10, 7)
+        x = rng.randn(3, 10).astype(np.float32)
+        want = lin(torch.from_numpy(x)).detach().numpy()
+        from flax import linen as nn
+
+        mod = nn.Dense(7)
+        params = {
+            "params": {
+                "kernel": jnp.asarray(dense_kernel(lin.weight.detach().numpy())),
+                "bias": jnp.asarray(lin.bias.detach().numpy()),
+            }
+        }
+        got = np.asarray(mod.apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+class TestAffinity:
+    def test_matches_reference_affinity(self, rng):
+        """AffinityFeature dilation-1 (liif.py:417-446)."""
+        from anystereo_tpu.nn.liif import affinity_features
+
+        x = rng.randn(1, 6, 9, 8).astype(np.float32)
+        xt = torch.from_numpy(to_nchw(x))
+        fn = TF.normalize(xt, dim=1, p=2)
+        unfolded = tnn.Unfold(kernel_size=(3, 3), dilation=1, padding=1)(fn)
+        alln = unfolded.reshape(1, 8, 9, 6, 9).transpose(1, 2)
+        neighbor = torch.cat((alln[:, :4], alln[:, 5:]), dim=1)
+        aff = torch.sum(neighbor * fn.unsqueeze(1), dim=2)
+        aff[aff < 0] = 0
+        want = aff.numpy()  # [1, 8, H, W]
+
+        got = np.asarray(affinity_features(jnp.asarray(x), (3, 3), 1))
+        np.testing.assert_allclose(
+            np.transpose(got, (0, 3, 1, 2)), want, rtol=1e-4, atol=1e-4
+        )

@@ -1,0 +1,154 @@
+"""Training-layer tests: losses vs the reference formulas, the optimizer
+schedule, a real jitted train step (loss decreases on a fixed batch), and
+full checkpoint round-trip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anystereo_tpu.config import ModelConfig, TrainConfig
+from anystereo_tpu.nn.model import AnyStereo, dense_query_coords
+from anystereo_tpu.train.loss import (
+    _iter_weights,
+    init_disp_loss,
+    sequence_loss,
+    sequence_loss_queries,
+)
+from anystereo_tpu.train.optimizer import make_optimizer, one_cycle_schedule
+from anystereo_tpu.train.state import create_train_state, restore_checkpoint, save_checkpoint
+from anystereo_tpu.train.step import make_train_step
+
+
+class TestLoss:
+    def test_iter_weights_match_reference(self):
+        """w_i = (gamma^(15/(N-1)))^(N-1-i) (train_continuous_IGEV.py:49-51)."""
+        n, gamma = 16, 0.9
+        adj = gamma ** (15 / (n - 1))
+        want = [adj ** (n - 1 - i) for i in range(n)]
+        got = np.asarray(_iter_weights(n, gamma))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        assert abs(got[-1] - 1.0) < 1e-6  # final iterate weight 1
+
+    def test_sequence_loss_masks_invalid(self, rng):
+        it, b, q = 3, 2, 50
+        preds = jnp.asarray(rng.randn(it, b, q).astype(np.float32))
+        gt = jnp.asarray(rng.rand(b, q).astype(np.float32) * 10)
+        valid = jnp.ones((b, q))
+        loss_all, m = sequence_loss_queries(preds, gt, valid, max_disp=700)
+        # masking everything → loss 0
+        loss_none, _ = sequence_loss_queries(preds, gt, jnp.zeros((b, q)), 700)
+        assert float(loss_none) == 0.0
+        assert float(loss_all) > 0
+        assert 0 <= float(m["1px"]) <= 1
+
+    def test_sequence_loss_epe_exact(self):
+        preds = jnp.asarray([[[2.0, 4.0]]])  # 1 iter, B1, Q2
+        gt = jnp.asarray([[1.0, 1.0]])
+        valid = jnp.ones((1, 2))
+        loss, m = sequence_loss_queries(preds, gt, valid, 700, gamma=0.9)
+        assert abs(float(m["epe"]) - 2.0) < 1e-6  # (1+3)/2
+        assert abs(float(loss) - 2.0) < 1e-6  # single iter weight 1
+
+    def test_init_disp_loss_smooth_l1(self):
+        init = jnp.asarray([[[0.5, 0.0]]])
+        gt = jnp.asarray([[[0.0, 10.0]]])
+        # second pixel's GT exceeds max_disp/4 = 1.25 ⇒ masked; only |0.5| term
+        v = init_disp_loss(init, gt, max_disp=5.0)
+        assert abs(float(v) - 0.5 * 0.25) < 1e-6  # 0.5*d^2 for d<1
+
+    def test_dense_wrapper(self, rng):
+        it, b, h, w = 2, 1, 4, 6
+        preds = jnp.asarray(rng.randn(it, b, h, w).astype(np.float32))
+        gt = jnp.asarray(rng.rand(b, h, w).astype(np.float32))
+        valid = jnp.ones((b, h, w))
+        l1, _ = sequence_loss(preds, gt, valid)
+        l2, _ = sequence_loss_queries(
+            preds.reshape(it, b, -1), gt.reshape(b, -1), valid.reshape(b, -1)
+        )
+        assert abs(float(l1) - float(l2)) < 1e-6
+
+
+class TestOptimizer:
+    def test_one_cycle_shape(self):
+        sched = one_cycle_schedule(2e-4, 1000, 0.01)
+        lrs = [float(sched(s)) for s in (0, 11, 500, 1050)]
+        assert lrs[1] == pytest.approx(2e-4, rel=1e-3)  # peak right after warmup
+        assert lrs[0] < lrs[1]
+        assert lrs[2] < lrs[1]
+        assert lrs[3] < lrs[2]
+
+    def test_grad_clip_in_chain(self):
+        tx = make_optimizer(lr=1e-3, grad_clip=1.0, num_steps=100)
+        params = {"w": jnp.zeros((3,))}
+        state = tx.init(params)
+        big = {"w": jnp.full((3,), 100.0)}
+        updates, _ = tx.update(big, state, params)
+        # clipped: update magnitude bounded by lr-scale, not 100-scale
+        assert float(jnp.abs(updates["w"]).max()) < 1.0
+
+
+@pytest.fixture(scope="module")
+def tiny_train_setup():
+    cfg = ModelConfig(max_disp=32)
+    tcfg = TrainConfig(
+        train_iters=2, batch_size=1, lr=1e-4, num_steps=50, supervise_init=True
+    )
+    model = AnyStereo(cfg)
+    b, h, w, q = 1, 32, 64, 64
+    rng = np.random.RandomState(0)
+    batch = {
+        "left": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255),
+        "right": jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255),
+        "coords": jnp.asarray(
+            (rng.rand(b, q, 2).astype(np.float32) * 2 - 1) * 0.99
+        ),
+        "gt": jnp.asarray(rng.rand(b, q).astype(np.float32) * 20),
+        "valid": jnp.ones((b, q), np.float32),
+        "scale": jnp.ones((b,), np.float32),
+        "gt_low": jnp.asarray(rng.rand(b, h // 4, w // 4).astype(np.float32) * 5),
+    }
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        batch["left"],
+        batch["right"],
+        iters=1,
+        coords=batch["coords"],
+    )
+    tx = make_optimizer(tcfg.lr, tcfg.weight_decay, tcfg.num_steps, tcfg.grad_clip)
+    state = create_train_state(variables["params"], tx)
+    return model, tcfg, state, batch
+
+
+class TestTrainStep:
+    def test_loss_decreases_on_fixed_batch(self, tiny_train_setup):
+        model, tcfg, state, batch = tiny_train_setup
+        # the step donates its input state — work on a copy so the
+        # module-scoped fixture stays alive for the next test
+        state = jax.tree_util.tree_map(jnp.copy, state)
+        step = make_train_step(model, tcfg)
+        losses = []
+        for _ in range(5):
+            state, metrics = step(state, batch)
+            losses.append(float(metrics["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0], losses
+        assert int(state.step) == 5
+
+    def test_checkpoint_roundtrip(self, tiny_train_setup, tmp_path):
+        model, tcfg, state, batch = tiny_train_setup
+        state = jax.tree_util.tree_map(jnp.copy, state)
+        step = make_train_step(model, tcfg)
+        state, _ = step(state, batch)
+        save_checkpoint(str(tmp_path / "ckpt"), state)
+        # restore into a fresh state
+        tx = state.tx
+        fresh = create_train_state(
+            jax.tree_util.tree_map(jnp.zeros_like, state.params), tx
+        )
+        restored = restore_checkpoint(str(tmp_path / "ckpt"), fresh)
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
+        assert int(restored.step) == int(state.step)

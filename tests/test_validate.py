@@ -1,0 +1,84 @@
+"""Validation-protocol tests: pad_for_queries coordinate bookkeeping
+(evaluation_validate.py:66-90 semantics, incl. the get_pad_num fix) and an
+end-to-end per-image validation loop with a tiny model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anystereo_tpu.config import ModelConfig
+from anystereo_tpu.eval.validate import Validator, pad_for_queries, validate_dataset
+from anystereo_tpu.nn.model import AnyStereo
+from anystereo_tpu.ops.coords import make_coord
+
+
+class TestPadForQueries:
+    def test_scale1_coords_cover_unpadded_region(self):
+        h, w = 30, 50
+        left = np.zeros((1, h, w, 3), np.float32)
+        lp, rp, coords, s = pad_for_queries(left, left.copy(), 1.0, 16)
+        assert lp.shape[1] % 16 == 0 and lp.shape[2] % 16 == 0
+        assert coords.shape == (1, h * w, 2)
+        # the queries must be exactly the padded-grid coords of the
+        # original pixels
+        hp, wp = lp.shape[1], lp.shape[2]
+        full = np.asarray(make_coord((hp, wp), flatten=False))
+        t = (hp - h) // 2
+        l = (wp - w) // 2
+        want = full[t : t + h, l : l + w].reshape(-1, 2)
+        np.testing.assert_allclose(np.asarray(coords)[0], want, atol=1e-6)
+
+    def test_scale2_downscales_inputs(self):
+        h, w = 64, 96
+        left = np.random.RandomState(0).rand(1, h, w, 3).astype(np.float32)
+        lp, rp, coords, s = pad_for_queries(left, left.copy(), 2.0, 32)
+        assert s == 2.0
+        assert lp.shape[1] == 32 and lp.shape[2] == 64  # ceil(64/2), ceil(96/2)
+        assert coords.shape == (1, h * w, 2)
+        assert np.abs(np.asarray(coords)).max() < 1.0
+
+
+class TestValidateLoop:
+    def test_validate_synthetic_dataset(self, tmp_path):
+        """Full per-image validation on a 2-image synthetic dataset with a
+        tiny random model: metrics come back finite with the right keys."""
+        from tests.test_data import _synthetic_dataset
+
+        ds = _synthetic_dataset(tmp_path, n=2, h=44, w=72)
+        ds.augmentor = None
+        cfg = ModelConfig(max_disp=32)
+        model = AnyStereo(cfg)
+        img1, img2, _, _ = ds._load_raw(0)
+        lp, rp, coords, s = pad_for_queries(
+            img1[None].astype(np.float32), img2[None].astype(np.float32), 1.0, 32
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), lp, rp, iters=1, coords=coords,
+            scale=jnp.asarray([s]),
+        )
+        res = validate_dataset(
+            model, variables["params"], ds, valid_iters=2, divis=32, max_images=2
+        )
+        for key in ("epe", "d1", "thres1", "thres3"):
+            assert key in res and np.isfinite(res[key])
+
+    def test_validator_caches_by_shape(self, tmp_path):
+        from tests.test_data import _synthetic_dataset
+
+        ds = _synthetic_dataset(tmp_path, n=1, h=44, w=72)
+        cfg = ModelConfig(max_disp=32)
+        model = AnyStereo(cfg)
+        img1, img2, _, _ = ds._load_raw(0)
+        lp, rp, coords, s = pad_for_queries(
+            img1[None].astype(np.float32), img2[None].astype(np.float32), 1.0, 32
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), lp, rp, iters=1, coords=coords,
+            scale=jnp.asarray([s]),
+        )
+        v = Validator(model, variables["params"], valid_iters=1)
+        v.infer(img1, img2)
+        v.infer(img1, img2)
+        assert len(v._fns) == 1
