@@ -35,14 +35,7 @@ from anystereo_tpu.ops.coords import make_coord
 log = logging.getLogger(__name__)
 
 
-def pad_for_queries(left, right, scale_test: float, divis: int):
-    """pad_for_multi_train (evaluation_validate.py:66-90): downscale inputs
-    by scale_test, pad to divisibility, build queries covering the original
-    (unpadded, full-res) pixel grid inside the padded coordinate frame.
-
-    left/right: [1, H, W, 3] numpy.  Returns (left_pad, right_pad,
-    coords [1, H*W, 2], scale).
-    """
+def _pad_common(left, right, scale_test: float, divis: int):
     assert scale_test > 0.99
     h_want, w_want = left.shape[1:3]
     h_lr = int(math.ceil(h_want / float(scale_test)))
@@ -55,15 +48,52 @@ def pad_for_queries(left, right, scale_test: float, divis: int):
     t, b, l, r = padder.get_pad_num()
     h_hr_pad = round(left_p.shape[1] * scale_test)
     w_hr_pad = round(left_p.shape[2] * scale_test)
-    grid = np.asarray(make_coord((h_hr_pad, w_hr_pad), flatten=False))
     if scale_test > 1:
         t, b, l, r = (round(i * scale_test) for i in (t, b, l, r))
-    grid = grid[t : h_hr_pad - b, l : w_hr_pad - r]
+    return left_p, right_p, (h_want, w_want), (h_hr_pad, w_hr_pad), (t, b, l, r)
+
+
+def _axis_centers_np(n: int) -> np.ndarray:
+    r = 1.0 / n
+    return (-1 + r + 2 * r * np.arange(n)).astype(np.float32)
+
+
+def pad_for_queries(left, right, scale_test: float, divis: int):
+    """pad_for_multi_train (evaluation_validate.py:66-90): downscale inputs
+    by scale_test, pad to divisibility, build queries covering the original
+    (unpadded, full-res) pixel grid inside the padded coordinate frame.
+
+    left/right: [1, H, W, 3] numpy.  Returns (left_pad, right_pad,
+    coords [1, H*W, 2], scale).
+    """
+    left_p, right_p, (h_want, w_want), (hp, wp), (t, b, l, r) = _pad_common(
+        left, right, scale_test, divis
+    )
+    grid = np.asarray(make_coord((hp, wp), flatten=False))
+    grid = grid[t : hp - b, l : wp - r]
     if grid.shape[:2] != (h_want, w_want):
         # off-by-rounding fix-up (evaluation_validate.py:87-89)
         grid = cv2.resize(grid, (w_want, h_want), interpolation=cv2.INTER_LINEAR)
     coords = grid.reshape(1, h_want * w_want, 2)
     return left_p, right_p, jnp.asarray(coords), float(scale_test)
+
+
+def pad_for_dense_grid(left, right, scale_test: float, divis: int):
+    """Separable twin of pad_for_queries: the cropped query grid is an
+    outer product of per-axis center sequences, so return (ys [H], xs [W])
+    for the model's gather-free dense decode."""
+    left_p, right_p, (h_want, w_want), (hp, wp), (t, b, l, r) = _pad_common(
+        left, right, scale_test, divis
+    )
+    ys = _axis_centers_np(hp)[t : hp - b]
+    xs = _axis_centers_np(wp)[l : wp - r]
+    if len(ys) != h_want:
+        ys = cv2.resize(ys.reshape(-1, 1), (1, h_want),
+                        interpolation=cv2.INTER_LINEAR).ravel()
+    if len(xs) != w_want:
+        xs = cv2.resize(xs.reshape(-1, 1), (1, w_want),
+                        interpolation=cv2.INTER_LINEAR).ravel()
+    return left_p, right_p, jnp.asarray(ys), jnp.asarray(xs), float(scale_test)
 
 
 class Validator:
@@ -81,10 +111,10 @@ class Validator:
         if key not in self._fns:
             iters = self.valid_iters
 
-            def f(params, left, right, coords, scale):
+            def f(params, left, right, ys, xs, scale):
                 out = self.model.apply(
-                    {"params": params}, left, right, iters=iters, coords=coords,
-                    scale=scale, mode="eval",
+                    {"params": params}, left, right, iters=iters,
+                    dense_grid=(ys, xs), scale=scale, mode="eval",
                 )
                 return out.disp_final
 
@@ -93,14 +123,15 @@ class Validator:
 
     def infer(self, left: np.ndarray, right: np.ndarray, scale_test: float = 1.0,
               divis: int = 32) -> np.ndarray:
-        """left/right [H, W, 3] → disparity [H, W] at original resolution."""
+        """left/right [H, W, 3] → disparity [H, W] at original resolution
+        (gather-free dense decode)."""
         h, w = left.shape[:2]
-        lp, rp, coords, s = pad_for_queries(
+        lp, rp, ys, xs, s = pad_for_dense_grid(
             left[None].astype(np.float32), right[None].astype(np.float32),
             scale_test, divis,
         )
-        fn = self._fn(tuple(lp.shape), coords.shape[1])
-        disp = fn(self.params, lp, rp, coords, jnp.asarray([s], jnp.float32))
+        fn = self._fn(tuple(lp.shape), (len(ys), len(xs)))
+        disp = fn(self.params, lp, rp, ys, xs, jnp.asarray([s], jnp.float32))
         return np.asarray(disp).reshape(h, w)
 
 
@@ -166,13 +197,14 @@ def run_validation(
 
     model = AnyStereo(model_cfg)
     sample1, sample2, _, _ = ds._load_raw(0)
-    lp, rp, coords, s = pad_for_queries(
+    lp, rp, ys, xs, s = pad_for_dense_grid(
         sample1[None].astype(np.float32), sample2[None].astype(np.float32),
         scale_test, 32,
     )
     variables = jax.jit(
         lambda k: model.init(
-            k, lp, rp, iters=1, coords=coords, scale=jnp.asarray([s])
+            k, lp, rp, iters=1, dense_grid=(ys, xs), scale=jnp.asarray([s]),
+            mode="eval",
         )
     )(jax.random.PRNGKey(0))
     params = restore_params_only(ckpt_dir, variables["params"])

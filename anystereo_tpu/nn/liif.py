@@ -131,30 +131,48 @@ class Mlp(nn.Module):
 class LiifDecoder(nn.Module):
     """Query-based decoder (liif_out_multi_scale_Training, liif.py:575-678).
 
-    Call with a list of latent maps (any resolutions), normalized (y, x)
-    query coords and the per-sample scale; returns per-query mixing weights
-    [B, Q, taps] (softmax applied by the caller, as in
-    continuous_IGEVstereo.py:212).
+    Two entry modes:
+      * arbitrary queries — `coords` [B, Q, 2]: per-query nearest gather of
+        each latent (training, scattered GT samples); returns [B, Q, taps];
+      * dense separable grid — `ys` [H'], `xs` [W'] normalized axis centers
+        (eval at a uniform output grid; the reference's fixed-size liif_out
+        path, liif.py:340-414): the nearest-latent lookup becomes two
+        one-hot matmuls per axis (pure MXU, no gathers) and returns
+        [B, H', W', taps].
+
+    Softmax over taps is applied by the caller (continuous_IGEVstereo.py:212).
     """
 
     cfg: LiifConfig
     dtype: Optional[Dtype] = None
 
+    def _augment(self, feat, i):
+        return StructureFeature(
+            self.cfg.isu_mode, self.cfg.isu_window, self.cfg.isu_dilations,
+            name=f"isu_{i}",
+        )(feat)
+
+    def _mlp(self, latent):
+        return Mlp(self.cfg.mlp_hidden, self.cfg.taps, dtype=self.dtype,
+                   name="imnet")(latent)
+
     @nn.compact
     def __call__(
         self,
         feats: List[jnp.ndarray],
-        coords: jnp.ndarray,
+        coords: Optional[jnp.ndarray] = None,
         scale: Optional[jnp.ndarray] = None,
+        ys: Optional[jnp.ndarray] = None,
+        xs: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.cfg
+        if coords is None:
+            return self._decode_dense(feats, ys, xs, scale)
         b, q, _ = coords.shape
         pieces = []
         for i, feat in enumerate(feats):
             fh, fw = feat.shape[1], feat.shape[2]
-            feat = StructureFeature(
-                cfg.isu_mode, cfg.isu_window, cfg.isu_dilations, name=f"isu_{i}"
-            )(feat)
+            feat = self._augment(feat, i)
             cl = jnp.clip(coords, -1 + 1e-6, 1 - 1e-6)
             q_feat = nearest_sample(feat, cl)  # [B, Q, C_i]
             q_coord = nearest_latent_coords(cl, fh, fw)  # [B, Q, 2]
@@ -172,7 +190,47 @@ class LiifDecoder(nn.Module):
                 piece.append(cell)
             pieces.append(jnp.concatenate(piece, axis=-1))
         latent = jnp.concatenate(pieces, axis=-1)
-        return Mlp(cfg.mlp_hidden, cfg.taps, dtype=self.dtype, name="imnet")(latent)
+        return self._mlp(latent)
+
+    def _decode_dense(self, feats, ys, xs, scale):
+        from anystereo_tpu.ops.sampling import _nearest_indices
+
+        cfg = self.cfg
+        oh, ow = ys.shape[0], xs.shape[0]
+        ysc = jnp.clip(ys, -1 + 1e-6, 1 - 1e-6)
+        xsc = jnp.clip(xs, -1 + 1e-6, 1 - 1e-6)
+        pieces = []
+        b = feats[0].shape[0]
+        for i, feat in enumerate(feats):
+            fh, fw = feat.shape[1], feat.shape[2]
+            feat = self._augment(feat, i)
+            iy = _nearest_indices(ysc, fh)  # [H']
+            ix = _nearest_indices(xsc, fw)  # [W']
+            mh = jax.nn.one_hot(iy, fh, dtype=feat.dtype)  # [H', fh]
+            mw = jax.nn.one_hot(ix, fw, dtype=feat.dtype)  # [W', fw]
+            qf = jnp.einsum("yh,bhwc->bywc", mh, feat)
+            qf = jnp.einsum("xw,bywc->byxc", mw, qf)  # [B, H', W', C]
+            rel_y = (ys - (-1.0 + (2.0 * iy + 1.0) / fh)) * fh  # [H']
+            rel_x = (xs - (-1.0 + (2.0 * ix + 1.0) / fw)) * fw  # [W']
+            rel = jnp.stack(
+                [
+                    jnp.broadcast_to(rel_y[:, None], (oh, ow)),
+                    jnp.broadcast_to(rel_x[None, :], (oh, ow)),
+                ],
+                axis=-1,
+            )  # [H', W', 2]
+            if cfg.pos_enc is PosEncType.SPATIAL and cfg.pos_dim > 0:
+                rel = SpatialEncoding(cfg.pos_dim, name=f"posenc_{i}")(rel)
+            rel = jnp.broadcast_to(rel[None], (b, oh, ow, rel.shape[-1]))
+            piece = [qf, rel.astype(qf.dtype)]
+            if cfg.decode_cell:
+                cell = jnp.broadcast_to(
+                    (2.0 / scale).reshape(b, 1, 1, 1), (b, oh, ow, 2)
+                ).astype(qf.dtype)
+                piece.append(cell)
+            pieces.append(jnp.concatenate(piece, axis=-1))
+        latent = jnp.concatenate(pieces, axis=-1)
+        return self._mlp(latent)  # [B, H', W', taps]
 
 
 def decoder_input_dim(cfg: LiifConfig, channel_list: Sequence[int]) -> int:

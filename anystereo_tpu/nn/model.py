@@ -169,24 +169,47 @@ class AnyStereo(nn.Module):
             ctx.append(tuple(jnp.split(gates, 3, axis=-1)))
         return net, ctx
 
+    def _decoder_feats(self, hidden, stems):
+        s1x, s2x, s4x = stems
+        x = hidden if s4x is None else jnp.concatenate([s4x, hidden], axis=-1)
+        if s1x is not None:
+            return [s1x, s2x, x]  # type2 ordering (continuous_IGEVstereo.py:211)
+        if s2x is not None:
+            return [x, s2x]
+        return [x]
+
     def _upsample(self, disp, hidden, stems, coords, scale):
         """upsample_disp (continuous_IGEVstereo.py:192-237): LIIF weights →
         softmax → weighted 3x3 (or 4-tap) combine of disp * 4 * scale."""
         cfg = self.cfg
-        s1x, s2x, s4x = stems
-        x = hidden if s4x is None else jnp.concatenate([s4x, hidden], axis=-1)
-        if s1x is not None:
-            feats = [s1x, s2x, x]  # type2 ordering (continuous_IGEVstereo.py:211)
-        elif s2x is not None:
-            feats = [x, s2x]
-        else:
-            feats = [x]
+        feats = self._decoder_feats(hidden, stems)
         weights = self.liif(feats, coords, scale)  # [B, Q, taps]
         weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1)
         disp_scaled = disp * 4.0 * scale[:, None, None]  # [B,H,W] fp32
         if cfg.liif.quarter_nearest:
             return context_upsample_queries_quarter(disp_scaled, weights, coords)
         return context_upsample_queries(disp_scaled, weights, coords)
+
+    def _upsample_dense(self, disp, hidden, stems, ys, xs, scale):
+        """Dense-grid decode (the reference's fixed-size liif_out +
+        context_upsample path, submodule.py:343-355) — separable one-hot
+        matmuls instead of per-query gathers; returns [B, H', W']."""
+        from anystereo_tpu.ops.sampling import _nearest_indices
+        from anystereo_tpu.ops.upsample import unfold3x3
+
+        feats = self._decoder_feats(hidden, stems)
+        weights = self.liif(feats, ys=ys, xs=xs, scale=scale)  # [B,H',W',taps]
+        weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1)
+        disp_scaled = disp * 4.0 * scale[:, None, None]
+        patches = unfold3x3(disp_scaled)  # [B, h, w, 9] fp32
+        h, w = patches.shape[1], patches.shape[2]
+        iy = _nearest_indices(jnp.clip(ys, -1 + 1e-6, 1 - 1e-6), h)
+        ix = _nearest_indices(jnp.clip(xs, -1 + 1e-6, 1 - 1e-6), w)
+        mh = jax.nn.one_hot(iy, h, dtype=patches.dtype)
+        mw = jax.nn.one_hot(ix, w, dtype=patches.dtype)
+        up = jnp.einsum("yh,bhwc->bywc", mh, patches)
+        up = jnp.einsum("xw,bywc->byxc", mw, up)  # [B, H', W', 9]
+        return (up * weights).sum(axis=-1)
 
     # ------------------------------------------------------------------ #
 
@@ -198,10 +221,14 @@ class AnyStereo(nn.Module):
         coords: Optional[jnp.ndarray] = None,
         scale: Optional[jnp.ndarray] = None,
         mode: str = "train",
+        dense_grid: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> StereoOutput:
         """left/right: [B, H, W, 3] uint8-range images (0..255 floats).
-        coords: [B, Q, 2] normalized queries (defaults to the full H x W
-        grid); scale: [B] arbitrary-scale factor (defaults to 1)."""
+        coords: [B, Q, 2] normalized queries (training / scattered GT);
+        dense_grid: (ys [H'], xs [W']) separable output grid — eval-only
+        fast path (no gathers; disp_final is [B, H', W']).  With neither,
+        eval decodes the full input-resolution grid densely.
+        scale: [B] arbitrary-scale factor (defaults to 1)."""
         cfg = self.cfg
         b, h, w, _ = left.shape
         left = (2.0 * (left / 255.0) - 1.0).astype(self._dt)
@@ -210,8 +237,15 @@ class AnyStereo(nn.Module):
             scale = jnp.ones((b,), jnp.float32)
         else:
             scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (b,))
-        if coords is None:
-            coords = dense_query_coords(b, h, w)
+        if coords is None and dense_grid is None:
+            if mode == "train":
+                coords = dense_query_coords(b, h, w)
+            else:
+                from anystereo_tpu.ops.coords import _axis_centers
+
+                dense_grid = (_axis_centers(h), _axis_centers(w))
+        if dense_grid is not None and mode == "train":
+            raise ValueError("dense_grid is an eval-only decode path")
 
         match_l, match_r, feats_l, stems = self._matching(left, right)
         pyr, init_disp = self._cost_stage(match_l, match_r, feats_l)
@@ -290,7 +324,11 @@ class AnyStereo(nn.Module):
             length=iters,
         )
         (net, disp), _ = scanned(self, (net, disp), None, pyr, ctx)
-        disp_up = self._upsample(disp, net[0], stems, coords, scale)
+        if dense_grid is not None:
+            ys, xs = dense_grid
+            disp_up = self._upsample_dense(disp, net[0], stems, ys, xs, scale)
+        else:
+            disp_up = self._upsample(disp, net[0], stems, coords, scale)
         return StereoOutput(
             init_disp=init_disp,
             disp_preds=None,

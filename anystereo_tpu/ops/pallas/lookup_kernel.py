@@ -1,0 +1,149 @@
+"""Pallas TPU kernel for the correlation / GEV pyramid lookup.
+
+Role: the per-GRU-iteration gather of 2r+1 linear-interpolated taps from
+each pixel's correlation row (and GEV row) — the operation the reference
+ships a CUDA extension for (sampler/sampler_kernel.cu:19-60, one thread per
+pixel accumulating a 1-D bilinear window) and actually runs as grid_sample
+(geometry.py:47,54).
+
+TPU formulation: per-lane dynamic gathers don't vectorize, so each tap is
+computed as a masked lane-reduction — weight w_l = (l==floor(p))·(1-f) +
+(l==floor(p)+1)·f against the row resident in VMEM, summed over the lane
+axis.  Out-of-range taps contribute zero exactly like grid_sample's zero
+padding (no lane matches), and the padded lane region is masked out.
+The backward pass is the transpose scatter with the same masks (the CUDA
+kernel's backward, sampler_kernel.cu:63-105), as a custom_vjp; positions
+are non-differentiable, matching the reference's detached-disparity lookup
+(continuous_IGEVstereo.py:285).
+
+Exposed as `gather_rows_linear(vol [R, L], pos [R, K]) → [R, K]`, the
+row-major twin of ops.sampling.gather_1d_linear (which is its numerical
+oracle in tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:  # pallas is TPU/Mosaic; interpret mode works on CPU
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def pallas_available() -> bool:
+    return _HAS_PALLAS
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fwd_kernel(vol_ref, pos_ref, out_ref, *, length: int, taps: int):
+    vol = vol_ref[:]  # [TR, Lpad] fp32
+    lane = jax.lax.broadcasted_iota(jnp.int32, vol.shape, 1)
+    in_row = lane < length
+    for k in range(taps):
+        p = pos_ref[:, k][:, None]  # [TR, 1]
+        i0 = jnp.floor(p)
+        frac = (p - i0).astype(vol.dtype)
+        i0i = i0.astype(jnp.int32)
+        w = jnp.where((lane == i0i) & in_row, 1.0 - frac, 0.0) + jnp.where(
+            (lane == i0i + 1) & in_row, frac, 0.0
+        )
+        out_ref[:, k] = jnp.sum(vol * w, axis=1)
+
+
+def _bwd_kernel(pos_ref, g_ref, dvol_ref, *, length: int, taps: int):
+    shape = dvol_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    in_row = lane < length
+    acc = jnp.zeros(shape, dvol_ref.dtype)
+    for k in range(taps):
+        p = pos_ref[:, k][:, None]
+        i0 = jnp.floor(p)
+        frac = (p - i0).astype(acc.dtype)
+        i0i = i0.astype(jnp.int32)
+        g = g_ref[:, k][:, None]
+        acc = acc + g * (
+            jnp.where((lane == i0i) & in_row, 1.0 - frac, 0.0)
+            + jnp.where((lane == i0i + 1) & in_row, frac, 0.0)
+        )
+    dvol_ref[:] = acc
+
+
+_ROW_TILE = 256
+
+
+def _pallas_fwd(vol: jnp.ndarray, pos: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    r, length = vol.shape
+    taps = pos.shape[1]
+    lpad = _round_up(max(length, 128), 128)
+    rpad = _round_up(max(r, 8), _ROW_TILE)
+    vol_p = jnp.pad(vol.astype(jnp.float32), ((0, rpad - r), (0, lpad - length)))
+    pos_p = jnp.pad(pos.astype(jnp.float32), ((0, rpad - r), (0, 0)))
+    grid = (rpad // _ROW_TILE,)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, length=length, taps=taps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, lpad), lambda i: (i, 0)),
+            pl.BlockSpec((_ROW_TILE, taps), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((_ROW_TILE, taps), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rpad, taps), jnp.float32),
+        interpret=interpret,
+    )(vol_p, pos_p)
+    return out[:r]
+
+
+def _pallas_bwd(pos: jnp.ndarray, g: jnp.ndarray, length: int, interpret: bool):
+    r, taps = pos.shape
+    lpad = _round_up(max(length, 128), 128)
+    rpad = _round_up(max(r, 8), _ROW_TILE)
+    pos_p = jnp.pad(pos.astype(jnp.float32), ((0, rpad - r), (0, 0)))
+    g_p = jnp.pad(g.astype(jnp.float32), ((0, rpad - r), (0, 0)))
+    grid = (rpad // _ROW_TILE,)
+    dvol = pl.pallas_call(
+        functools.partial(_bwd_kernel, length=length, taps=taps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, taps), lambda i: (i, 0)),
+            pl.BlockSpec((_ROW_TILE, taps), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((_ROW_TILE, lpad), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rpad, lpad), jnp.float32),
+        interpret=interpret,
+    )(pos_p, g_p)
+    return dvol[:r, :length]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows_linear(vol: jnp.ndarray, pos: jnp.ndarray, interpret: bool = False):
+    """Linear-interpolated row gather: out[r, k] = lerp(vol[r], pos[r, k]),
+    zero outside [0, L-1].  vol: [R, L], pos: [R, K] → [R, K] fp32.
+
+    Positions are treated as non-differentiable (the reference detaches the
+    disparity before every lookup)."""
+    return _pallas_fwd(vol, pos, interpret)
+
+
+def _grl_fwd(vol, pos, interpret):
+    return _pallas_fwd(vol, pos, interpret), (pos, vol.shape[1])
+
+
+def _grl_bwd(interpret, res, g):
+    pos, length = res
+    dvol = _pallas_bwd(pos, g, length, interpret)
+    return dvol, None
+
+
+gather_rows_linear.defvjp(_grl_fwd, _grl_bwd)

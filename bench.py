@@ -32,7 +32,7 @@ def main():
     import jax.numpy as jnp
 
     from anystereo_tpu.config import ModelConfig
-    from anystereo_tpu.nn.model import AnyStereo, dense_query_coords
+    from anystereo_tpu.nn.model import AnyStereo
 
     b, h, w = 1, 384, 1248
     iters = 32
@@ -42,30 +42,32 @@ def main():
     rng = np.random.RandomState(0)
     left = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
     right = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
-    coords = dense_query_coords(b, h, w)
 
     t0 = time.time()
     variables = jax.jit(
-        lambda k, l, r: model.init(k, l, r, iters=1, coords=coords)
+        lambda k, l, r: model.init(k, l, r, iters=1, mode="eval")
     )(jax.random.PRNGKey(0), left, right)
     jax.block_until_ready(variables)
     init_s = time.time() - t0
 
+    # eval decodes the full-res grid via the gather-free dense path
     fwd = jax.jit(
         lambda v, l, r: model.apply(
-            v, l, r, iters=iters, coords=coords, mode="eval"
+            v, l, r, iters=iters, mode="eval"
         ).disp_final
     )
     t0 = time.time()
-    out = jax.block_until_ready(fwd(variables, left, right))
+    out = np.asarray(fwd(variables, left, right))
     compile_s = time.time() - t0
+    assert np.isfinite(out).all()
 
-    # steady state
-    n_rep = 5
+    # steady state.  NOTE: timing forces a host round-trip per call —
+    # jax.block_until_ready does NOT reliably block on the axon platform
+    # (measured returning in 0.4 ms for a 5.7 s computation).
+    n_rep = 3
     t0 = time.time()
     for _ in range(n_rep):
-        out = fwd(variables, left, right)
-    jax.block_until_ready(out)
+        out = np.asarray(fwd(variables, left, right))
     per_pair = (time.time() - t0) / n_rep
     pairs_per_sec = b / per_pair
 

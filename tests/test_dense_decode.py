@@ -1,0 +1,77 @@
+"""Dense-decode parity: the gather-free separable decode must equal the
+query-based decode evaluated on the same grid (same math, different
+lowering), and the dense validator grid must match pad_for_queries."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from anystereo_tpu.config import ModelConfig
+from anystereo_tpu.eval.validate import pad_for_dense_grid, pad_for_queries
+from anystereo_tpu.nn.model import AnyStereo, dense_query_coords
+from anystereo_tpu.ops.coords import _axis_centers
+
+
+class TestDenseDecodeParity:
+    def test_matches_query_decode_on_grid(self):
+        cfg = ModelConfig(max_disp=32)
+        model = AnyStereo(cfg)
+        b, h, w = 1, 32, 64
+        rng = np.random.RandomState(0)
+        left = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        right = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        coords = dense_query_coords(b, h, w)
+        scale = jnp.asarray([1.5], jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), left, right, iters=1, coords=coords, scale=scale
+        )
+        q_out = model.apply(
+            variables, left, right, iters=2, coords=coords, scale=scale, mode="eval"
+        ).disp_final  # [B, H*W]
+        d_out = model.apply(
+            variables, left, right, iters=2,
+            dense_grid=(_axis_centers(h), _axis_centers(w)), scale=scale,
+            mode="eval",
+        ).disp_final  # [B, H, W]
+        np.testing.assert_allclose(
+            np.asarray(d_out).reshape(b, -1), np.asarray(q_out), rtol=1e-4,
+            atol=1e-4,
+        )
+
+    def test_eval_default_is_dense_full_grid(self):
+        cfg = ModelConfig(max_disp=32)
+        model = AnyStereo(cfg)
+        b, h, w = 1, 32, 64
+        rng = np.random.RandomState(1)
+        left = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        right = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        variables = model.init(
+            jax.random.PRNGKey(0), left, right, iters=1, mode="eval"
+        )
+        out = model.apply(variables, left, right, iters=1, mode="eval")
+        assert out.disp_final.shape == (b, h, w)
+
+    def test_train_mode_rejects_dense_grid(self):
+        cfg = ModelConfig(max_disp=32)
+        model = AnyStereo(cfg)
+        left = jnp.zeros((1, 32, 64, 3))
+        with pytest.raises(ValueError):
+            model.init(
+                jax.random.PRNGKey(0), left, left, iters=1,
+                dense_grid=(_axis_centers(32), _axis_centers(64)), mode="train",
+            )
+
+
+class TestDenseGridBookkeeping:
+    @pytest.mark.parametrize("scale_test", [1.0, 2.0])
+    def test_outer_product_matches_pad_for_queries(self, scale_test):
+        h, w = 30, 50
+        left = np.random.RandomState(0).rand(1, h, w, 3).astype(np.float32)
+        _, _, coords, _ = pad_for_queries(left, left.copy(), scale_test, 16)
+        _, _, ys, xs, _ = pad_for_dense_grid(left, left.copy(), scale_test, 16)
+        grid = np.stack(
+            np.meshgrid(np.asarray(ys), np.asarray(xs), indexing="ij"), axis=-1
+        ).reshape(1, -1, 2)
+        np.testing.assert_allclose(grid, np.asarray(coords), atol=1e-5)
