@@ -87,8 +87,13 @@ class LiifConfig:
     pos_enc: PosEncType = PosEncType.NONE
     pos_dim: int = 0
     decode_cell: bool = False
+    local_ensemble: bool = False  # 4-neighbor area-weighted blend (liif.py:384-414)
     quarter_nearest: bool = False  # 4-nearest-tap variant (out dim 4 instead of 9)
     taps: int = 9  # 3x3 neighborhood weights produced by the MLP
+    # Disparity normalization before decoding (continuous_IGEVstereo.py:198-201,
+    # 223-235): 'none' | 'width' (disp/W, denorm by round(4*W*scale)) |
+    # 'width1024' (disp/W*1024)
+    disparity_norm: str = "none"
 
     def __post_init__(self):
         if self.quarter_nearest:

@@ -96,6 +96,21 @@ def pad_for_dense_grid(left, right, scale_test: float, divis: int):
     return left_p, right_p, jnp.asarray(ys), jnp.asarray(xs), float(scale_test)
 
 
+def pad_for_fixed_upscale(left, right, up: int, divis: int = 16):
+    """pad_for_multi_train_Fixed (evaluation_validate.py:93-108): inputs are
+    NOT downscaled; the decoder queries an exact up-x grid over the padded
+    frame, cropped to up x the original extent (the Middlebury Q→F / H→F
+    protocol).  Returns (left_p, right_p, ys, xs, scale=up)."""
+    padder = InputPadder(left.shape, divis_by=divis)
+    left_p, right_p = padder.pad(jnp.asarray(left), jnp.asarray(right))
+    t, b, l, r = padder.get_pad_num()
+    hp, wp = left_p.shape[1] * up, left_p.shape[2] * up
+    ys = _axis_centers_np(hp)[t * up : hp - b * up]
+    xs = _axis_centers_np(wp)[l * up : wp - r * up]
+    assert len(ys) == left.shape[1] * up and len(xs) == left.shape[2] * up
+    return left_p, right_p, jnp.asarray(ys), jnp.asarray(xs), float(up)
+
+
 class Validator:
     """Caches one jitted eval function per padded shape (per-image loop has
     a handful of shape buckets per dataset)."""
@@ -122,17 +137,23 @@ class Validator:
         return self._fns[key]
 
     def infer(self, left: np.ndarray, right: np.ndarray, scale_test: float = 1.0,
-              divis: int = 32) -> np.ndarray:
-        """left/right [H, W, 3] → disparity [H, W] at original resolution
-        (gather-free dense decode)."""
-        h, w = left.shape[:2]
-        lp, rp, ys, xs, s = pad_for_dense_grid(
-            left[None].astype(np.float32), right[None].astype(np.float32),
-            scale_test, divis,
-        )
+              divis: int = 32, fixed_upscale: Optional[int] = None) -> np.ndarray:
+        """left/right [H, W, 3] → disparity at original resolution (or
+        fixed_upscale x it — the Middlebury Q→F/H→F protocol); gather-free
+        dense decode."""
+        if fixed_upscale is not None:
+            lp, rp, ys, xs, s = pad_for_fixed_upscale(
+                left[None].astype(np.float32), right[None].astype(np.float32),
+                fixed_upscale, 16,
+            )
+        else:
+            lp, rp, ys, xs, s = pad_for_dense_grid(
+                left[None].astype(np.float32), right[None].astype(np.float32),
+                scale_test, divis,
+            )
         fn = self._fn(tuple(lp.shape), (len(ys), len(xs)))
         disp = fn(self.params, lp, rp, ys, xs, jnp.asarray([s], jnp.float32))
-        return np.asarray(disp).reshape(h, w)
+        return np.asarray(disp).reshape(len(ys), len(xs))
 
 
 def validate_dataset(
@@ -144,16 +165,18 @@ def validate_dataset(
     divis: int = 32,
     max_disp: float = 1000.0,
     max_images: Optional[int] = None,
+    fixed_upscale: Optional[int] = None,
 ) -> Dict[str, float]:
     """Generic per-image validation driver over a StereoDataset (no
-    augmentor).  `dataset` must yield full-resolution samples."""
+    augmentor).  `dataset` must yield full-resolution samples; with
+    fixed_upscale, GT must be at upscale x the input resolution."""
     vd = Validator(model, params, valid_iters)
     meter = AverageMeterDict()
     n = len(dataset) if max_images is None else min(len(dataset), max_images)
     for i in range(n):
         img1, img2, flow, valid = dataset._load_raw(i)
         gt = flow[..., 0]
-        pred = vd.infer(img1, img2, scale_test, divis)
+        pred = vd.infer(img1, img2, scale_test, divis, fixed_upscale)
         vmask = (np.asarray(valid) > 0) & (gt > 0) & (gt < max_disp)
         m = compute_metrics(
             jnp.asarray(pred)[None], jnp.asarray(gt)[None], jnp.asarray(vmask)[None]
@@ -182,12 +205,22 @@ def run_validation(
     )
     from anystereo_tpu.train.state import restore_params_only
 
+    fixed_upscale = None
     if dataset == "sceneflow":
         ds = SceneFlowDataset(data_root, aug=None, things_test=True)
     elif dataset == "kitti15":
         ds = KittiMixed(data_root, data_root, aug=None, mode="valid_15")
     elif dataset == "kitti12":
         ds = KittiMixed(data_root, data_root, aug=None, mode="valid_12")
+    elif dataset in ("middlebury_Q_F", "middlebury_H_F"):
+        # fixed-scale arbitrary-scale protocol (evaluation_validate.py:
+        # 430-436): inputs from the Q/H split, GT from the F split,
+        # decoded at 4x / 2x
+        src = dataset.split("_")[1]
+        fixed_upscale = 4 if src == "Q" else 2
+        ds = Middlebury(data_root, aug=None, split=src)
+        full = Middlebury(data_root, aug=None, split="F")
+        ds.disparity_list = full.disparity_list
     elif dataset.startswith("middlebury_"):
         ds = Middlebury(data_root, aug=None, split=dataset.split("_")[1])
     elif dataset == "eth3d":
@@ -210,5 +243,6 @@ def run_validation(
     params = restore_params_only(ckpt_dir, variables["params"])
     divis = 32 if model_cfg.core is CoreType.IGEV else 16
     return validate_dataset(
-        model, params, ds, valid_iters, scale_test, divis, max_images=max_images
+        model, params, ds, valid_iters, scale_test, divis,
+        max_images=max_images, fixed_upscale=fixed_upscale,
     )

@@ -128,6 +128,27 @@ class Mlp(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype)(x)
 
 
+class SinusoidPositionEncoder(nn.Module):
+    """PositionEncoder 'sinusoid' variant (liif.py:181-302): log-spaced
+    frequency bank (2^linspace(0, scale, n) - 1) applied per coordinate,
+    [sin, cos] features projected to `head` channels."""
+
+    enc_dim: int = 2
+    posenc_scale: float = 10.0
+    head: int = 8
+
+    @nn.compact
+    def __call__(self, rel):
+        n = max(self.enc_dim // 4, 1)
+        b = 2.0 ** np.linspace(0, self.posenc_scale, n) - 1
+        bank = np.stack([b, np.zeros_like(b)], axis=-1)
+        bank = np.concatenate([bank, np.roll(bank, 1, axis=-1)], axis=0)  # [2n,2]
+        bank_j = jnp.asarray(bank, rel.dtype)
+        proj = rel @ bank_j.T  # [..., 2n]
+        enc = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+        return nn.Dense(self.head)(enc)
+
+
 class LiifDecoder(nn.Module):
     """Query-based decoder (liif_out_multi_scale_Training, liif.py:575-678).
 
@@ -168,19 +189,60 @@ class LiifDecoder(nn.Module):
         cfg = self.cfg
         if coords is None:
             return self._decode_dense(feats, ys, xs, scale)
-        b, q, _ = coords.shape
-        pieces = []
+        feats = [self._augment(f, i) for i, f in enumerate(feats)]
+        if not cfg.local_ensemble:
+            latent, _ = self._build_latent(feats, coords, coords, scale)
+            return self._mlp(latent)
+        # 4-neighbor local ensemble (liif_out local path, liif.py:384-414):
+        # decode at each diagonal neighbor cell, blend by the SWAPPED
+        # opposite-cell areas.  The reference defines this for its
+        # single-latent decoder; here the shift radius and areas come from
+        # the first (finest-relative) latent.
+        fh, fw = feats[0].shape[1], feats[0].shape[2]
+        ry, rx = 1.0 / fh, 1.0 / fw
+        eps = 1e-6
+        preds, areas = [], []
+        for vy in (-1.0, 1.0):
+            for vx in (-1.0, 1.0):
+                shifted = coords + jnp.asarray(
+                    [vy * ry + eps, vx * rx + eps], coords.dtype
+                )
+                latent, rel0 = self._build_latent(feats, shifted, coords, scale)
+                preds.append(self._mlp(latent))
+                areas.append(
+                    jnp.abs(rel0[..., 0] * rel0[..., 1]) + 1e-9
+                )  # liif.py:95-96
+        tot = sum(areas)
+        # swap diagonal areas (liif.py:402-408)
+        areas = [areas[3], areas[2], areas[1], areas[0]]
+        out = 0.0
+        for pred, area in zip(preds, areas):
+            out = out + pred * (area / tot)[..., None].astype(pred.dtype)
+        return out
+
+    def _build_latent(self, feats, sample_coords, rel_coords, scale):
+        """Concatenated per-feat latent at `sample_coords`, with relative
+        coords measured from `rel_coords` (liif_feat, liif.py:77-87).
+        Returns (latent [B,Q,C], rel of the first feat)."""
+        cfg = self.cfg
+        b, q, _ = sample_coords.shape
+        pieces, rel0 = [], None
         for i, feat in enumerate(feats):
             fh, fw = feat.shape[1], feat.shape[2]
-            feat = self._augment(feat, i)
-            cl = jnp.clip(coords, -1 + 1e-6, 1 - 1e-6)
+            cl = jnp.clip(sample_coords, -1 + 1e-6, 1 - 1e-6)
             q_feat = nearest_sample(feat, cl)  # [B, Q, C_i]
             q_coord = nearest_latent_coords(cl, fh, fw)  # [B, Q, 2]
-            rel = (coords - q_coord) * jnp.asarray(
-                [fh, fw], coords.dtype
+            rel = (rel_coords - q_coord) * jnp.asarray(
+                [fh, fw], rel_coords.dtype
             )  # liif.py:127-129
+            if rel0 is None:
+                rel0 = rel
             if cfg.pos_enc is PosEncType.SPATIAL and cfg.pos_dim > 0:
                 rel = SpatialEncoding(cfg.pos_dim, name=f"posenc_{i}")(rel)
+            elif cfg.pos_enc is PosEncType.SINUSOID:
+                rel = SinusoidPositionEncoder(
+                    enc_dim=max(cfg.pos_dim, 8), name=f"posenc_{i}"
+                )(rel)
             piece = [q_feat, rel.astype(q_feat.dtype)]
             if cfg.decode_cell:
                 assert scale is not None
@@ -189,8 +251,7 @@ class LiifDecoder(nn.Module):
                 ).astype(q_feat.dtype)
                 piece.append(cell)
             pieces.append(jnp.concatenate(piece, axis=-1))
-        latent = jnp.concatenate(pieces, axis=-1)
-        return self._mlp(latent)
+        return jnp.concatenate(pieces, axis=-1), rel0
 
     def _decode_dense(self, feats, ys, xs, scale):
         from anystereo_tpu.ops.sampling import _nearest_indices

@@ -178,6 +178,30 @@ class AnyStereo(nn.Module):
             return [x, s2x]
         return [x]
 
+    def _scale_disp(self, disp, scale):
+        """Pre-decode disparity scaling (continuous_IGEVstereo.py:198-206):
+        default disp*4*scale; optional width normalization variants."""
+        w = disp.shape[-1]
+        norm = self.cfg.liif.disparity_norm
+        if norm == "width":
+            return disp / w
+        if norm == "width1024":
+            return disp / w * 1024.0
+        return disp * 4.0 * scale[:, None, None]
+
+    def _denorm_disp(self, disp_up, w, scale):
+        """Post-decode denormalization (continuous_IGEVstereo.py:223-235)."""
+        norm = self.cfg.liif.disparity_norm
+        if norm == "width":
+            return disp_up * jnp.round(w * 4.0 * scale).reshape(
+                (-1,) + (1,) * (disp_up.ndim - 1)
+            )
+        if norm == "width1024":
+            return disp_up / 1024.0 * jnp.round(w * 4.0 * scale).reshape(
+                (-1,) + (1,) * (disp_up.ndim - 1)
+            )
+        return disp_up
+
     def _upsample(self, disp, hidden, stems, coords, scale):
         """upsample_disp (continuous_IGEVstereo.py:192-237): LIIF weights →
         softmax → weighted 3x3 (or 4-tap) combine of disp * 4 * scale."""
@@ -185,10 +209,13 @@ class AnyStereo(nn.Module):
         feats = self._decoder_feats(hidden, stems)
         weights = self.liif(feats, coords, scale)  # [B, Q, taps]
         weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1)
-        disp_scaled = disp * 4.0 * scale[:, None, None]  # [B,H,W] fp32
+        w = disp.shape[-1]
+        disp_scaled = self._scale_disp(disp, scale)  # [B,H,W] fp32
         if cfg.liif.quarter_nearest:
-            return context_upsample_queries_quarter(disp_scaled, weights, coords)
-        return context_upsample_queries(disp_scaled, weights, coords)
+            up = context_upsample_queries_quarter(disp_scaled, weights, coords)
+        else:
+            up = context_upsample_queries(disp_scaled, weights, coords)
+        return self._denorm_disp(up, w, scale)
 
     def _upsample_dense(self, disp, hidden, stems, ys, xs, scale):
         """Dense-grid decode (the reference's fixed-size liif_out +
@@ -200,7 +227,8 @@ class AnyStereo(nn.Module):
         feats = self._decoder_feats(hidden, stems)
         weights = self.liif(feats, ys=ys, xs=xs, scale=scale)  # [B,H',W',taps]
         weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1)
-        disp_scaled = disp * 4.0 * scale[:, None, None]
+        w0 = disp.shape[-1]
+        disp_scaled = self._scale_disp(disp, scale)
         patches = unfold3x3(disp_scaled)  # [B, h, w, 9] fp32
         h, w = patches.shape[1], patches.shape[2]
         iy = _nearest_indices(jnp.clip(ys, -1 + 1e-6, 1 - 1e-6), h)
@@ -209,7 +237,7 @@ class AnyStereo(nn.Module):
         mw = jax.nn.one_hot(ix, w, dtype=patches.dtype)
         up = jnp.einsum("yh,bhwc->bywc", mh, patches)
         up = jnp.einsum("xw,bywc->byxc", mw, up)  # [B, H', W', 9]
-        return (up * weights).sum(axis=-1)
+        return self._denorm_disp((up * weights).sum(axis=-1), w0, scale)
 
     # ------------------------------------------------------------------ #
 

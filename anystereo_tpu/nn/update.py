@@ -49,6 +49,36 @@ class ConvGRU(nn.Module):
         return (1.0 - z) * h + z * q
 
 
+class SepConvGRU(nn.Module):
+    """Separable (1x5 then 5x1) ConvGRU (update.py:43-71 — present in the
+    reference but unused by its default 3-level path; provided for config
+    parity)."""
+
+    hidden_dim: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, h, *inputs):
+        x = jnp.concatenate(list(inputs), axis=-1)
+        for name, kern, pad in (("h", (1, 5), (0, 2)), ("v", (5, 1), (2, 0))):
+            hx = jnp.concatenate([h, x], axis=-1)
+
+            def conv(cname):
+                return nn.Conv(
+                    self.hidden_dim,
+                    kern,
+                    padding=((pad[0], pad[0]), (pad[1], pad[1])),
+                    dtype=self.dtype,
+                    name=f"{cname}{name}",
+                )
+
+            z = nn.sigmoid(conv("convz")(hx))
+            r = nn.sigmoid(conv("convr")(hx))
+            q = jnp.tanh(conv("convq")(jnp.concatenate([r * h, x], axis=-1)))
+            h = (1.0 - z) * h + z * q
+        return h
+
+
 class BasicMotionEncoder(nn.Module):
     """update.py:73-92: lookup features + current disparity → 128-ch motion
     features (last channel is the raw disparity)."""

@@ -80,10 +80,37 @@ def build_pyramid(
     return CorrPyramid(tuple(corr_levels), geo_levels, radius)
 
 
+def _gather_taps(vol: jnp.ndarray, pos: jnp.ndarray, impl: str) -> jnp.ndarray:
+    """Dispatch the [..., L] x [..., K] linear tap gather.
+
+    impl 'pallas': the masked lane-reduction TPU kernel
+    (ops/pallas/lookup_kernel.py) — take_along_axis over the minor axis
+    lowers to per-element scalar gathers on TPU and measured ~175 ms per
+    GRU iteration at KITTI size vs a few ms for the kernel.
+    impl 'jnp': the gather oracle (CPU tests / fallback).
+    """
+    if impl == "jnp":
+        return gather_1d_linear(vol, pos)
+    from anystereo_tpu.ops.pallas.lookup_kernel import gather_rows_linear
+
+    lead = vol.shape[:-1]
+    rows = vol.reshape(-1, vol.shape[-1])
+    pos_rows = pos.reshape(-1, pos.shape[-1])
+    out = gather_rows_linear(rows, pos_rows, False)
+    return out.reshape(*lead, pos.shape[-1])
+
+
+def _default_impl() -> str:
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+
 def pyramid_lookup(
     pyr: CorrPyramid,
     disp: jnp.ndarray,
     coords: Optional[jnp.ndarray] = None,
+    impl: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sample 2r+1 taps around the current disparity at every pyramid level.
 
@@ -101,6 +128,7 @@ def pyramid_lookup(
     """
     b, h, w = disp.shape
     r = pyr.radius
+    impl = impl or _default_impl()
     dx = jnp.arange(-r, r + 1, dtype=jnp.float32)  # [K]
     disp = disp.astype(jnp.float32)
     if coords is None:
@@ -115,11 +143,11 @@ def pyramid_lookup(
             g = geo.shape[-2]
             pos = disp[..., None] * scale + dx  # [B, H, W, K]
             pos_g = jnp.broadcast_to(pos[..., None, :], (b, h, w, g, pos.shape[-1]))
-            taps = gather_1d_linear(geo, pos_g)  # [B, H, W, G, K]
+            taps = _gather_taps(geo, pos_g, impl)  # [B, H, W, G, K]
             out.append(taps.reshape(b, h, w, -1))  # group-major flatten
         corr = pyr.corr_levels[i]  # [B, H, W, W2i]
         cpos = (coords - disp)[..., None] * scale + dx
-        out.append(gather_1d_linear(corr, cpos))  # [B, H, W, K]
+        out.append(_gather_taps(corr, cpos, impl))  # [B, H, W, K]
     return jnp.concatenate(out, axis=-1)
 
 
