@@ -54,6 +54,7 @@ class StereoDataset:
         sparse: bool = False,
         reader=None,
         multi_scale: bool = False,
+        multi_input: bool = False,
         scale_min: float = 1.0,
         scale_max: float = 4.0,
         inp_size: Tuple[int, int] = (160, 320),
@@ -62,6 +63,7 @@ class StereoDataset:
         self.augmentor = StereoAugmentor(aug, sparse=sparse) if aug else None
         self.reader = reader or frame_utils.read_gen
         self.multi_scale = multi_scale
+        self.multi_input = multi_input
         self.scale_min = scale_min
         self.scale_max = scale_max
         self.inp_size = tuple(inp_size)
@@ -103,6 +105,8 @@ class StereoDataset:
                 else:
                     img1, img2, flow = self.augmentor(img1, img2, flow, rng=rng)
                     valid = (np.abs(flow[..., 0]) < 512).astype(np.float32)
+            if self.multi_input:
+                return self._multi_input_sample(img1, img2, flow, valid, rng)
             return {
                 "left": img1.astype(np.float32),
                 "right": img2.astype(np.float32),
@@ -162,6 +166,48 @@ class StereoDataset:
             "valid": qvalid,
             "scale": np.float32(scale),
             "gt_low": low.astype(np.float32),
+        }
+
+    def _multi_input_sample(self, img1, img2, flow, valid, rng):
+        """multi_input_training sample (stereo_datasets.py:213-235): after
+        the standard crop, bicubic-downscale the inputs by a random scale,
+        replicate-pad back to the crop size, and emit the query grid of the
+        original (crop-res) pixels inside the scale-x padded frame.  GT is
+        the full crop-res disparity → Q = crop_h * crop_w (static)."""
+        import math
+
+        h_want, w_want = img1.shape[:2]
+        scale = rng.uniform(self.scale_min, self.scale_max)
+        h_lr = int(math.ceil(h_want / scale))
+        w_lr = int(math.ceil(w_want / scale))
+        im1 = cv2.resize(img1, (w_lr, h_lr), interpolation=cv2.INTER_CUBIC)
+        im2 = cv2.resize(img2, (w_lr, h_lr), interpolation=cv2.INTER_CUBIC)
+        pad_ht, pad_wd = h_want - h_lr, w_want - w_lr
+        t, b = pad_ht // 2, pad_ht - pad_ht // 2
+        l, r = pad_wd // 2, pad_wd - pad_wd // 2
+        im1 = np.pad(im1, ((t, b), (l, r), (0, 0)), mode="edge")
+        im2 = np.pad(im2, ((t, b), (l, r), (0, 0)), mode="edge")
+        h_hr_pad = int(math.ceil(h_want * scale))
+        w_hr_pad = int(math.ceil(w_want * scale))
+        grid = make_coord_np((h_hr_pad, w_hr_pad)).reshape(h_hr_pad, w_hr_pad, 2)
+        st, sb = int(math.ceil(t * scale)), int(math.ceil(b * scale))
+        sl, sr = int(math.ceil(l * scale)), int(math.ceil(r * scale))
+        grid = grid[st : h_hr_pad - sb, sl : w_hr_pad - sr]
+        if grid.shape[:2] != (h_want, w_want):
+            grid = cv2.resize(grid, (w_want, h_want), interpolation=cv2.INTER_LINEAR)
+        return {
+            "left": im1.astype(np.float32),
+            "right": im2.astype(np.float32),
+            "coords": grid.reshape(-1, 2).astype(np.float32),
+            "gt": flow[..., 0].reshape(-1).astype(np.float32),
+            "valid": np.asarray(valid, np.float32).reshape(-1),
+            "scale": np.float32(scale),
+            "gt_low": cv2.resize(
+                flow[..., 0],
+                (w_want // 4, h_want // 4),
+                interpolation=cv2.INTER_LINEAR,
+            ).astype(np.float32)
+            / np.float32(4.0 * scale),
         }
 
     def __mul__(self, v: int) -> "StereoDataset":

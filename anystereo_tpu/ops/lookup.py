@@ -80,24 +80,25 @@ def build_pyramid(
     return CorrPyramid(tuple(corr_levels), geo_levels, radius)
 
 
-def _gather_taps(vol: jnp.ndarray, pos: jnp.ndarray, impl: str) -> jnp.ndarray:
-    """Dispatch the [..., L] x [..., K] linear tap gather.
+def _gather_window(vol: jnp.ndarray, base: jnp.ndarray, taps: int, impl: str):
+    """Dispatch the windowed tap gather: out[..., k] = lerp(vol, base + k).
 
     impl 'pallas': the masked lane-reduction TPU kernel
     (ops/pallas/lookup_kernel.py) — take_along_axis over the minor axis
     lowers to per-element scalar gathers on TPU and measured ~175 ms per
-    GRU iteration at KITTI size vs a few ms for the kernel.
+    GRU iteration at KITTI size vs single-digit ms for the kernel.  The
+    windowed form exploits the lookup's consecutive-integer tap offsets.
     impl 'jnp': the gather oracle (CPU tests / fallback).
     """
     if impl == "jnp":
+        pos = base[..., None] + jnp.arange(taps, dtype=jnp.float32)
         return gather_1d_linear(vol, pos)
-    from anystereo_tpu.ops.pallas.lookup_kernel import gather_rows_linear
+    from anystereo_tpu.ops.pallas.lookup_kernel import gather_window_linear
 
     lead = vol.shape[:-1]
     rows = vol.reshape(-1, vol.shape[-1])
-    pos_rows = pos.reshape(-1, pos.shape[-1])
-    out = gather_rows_linear(rows, pos_rows, False)
-    return out.reshape(*lead, pos.shape[-1])
+    out = gather_window_linear(rows, base.reshape(-1), taps, False)
+    return out.reshape(*lead, taps)
 
 
 def _default_impl() -> str:
@@ -128,8 +129,8 @@ def pyramid_lookup(
     """
     b, h, w = disp.shape
     r = pyr.radius
+    k = 2 * r + 1
     impl = impl or _default_impl()
-    dx = jnp.arange(-r, r + 1, dtype=jnp.float32)  # [K]
     disp = disp.astype(jnp.float32)
     if coords is None:
         coords = jnp.arange(w, dtype=jnp.float32)
@@ -141,13 +142,13 @@ def pyramid_lookup(
         if pyr.geo_levels is not None:
             geo = pyr.geo_levels[i]  # [B, H, W, G, Di]
             g = geo.shape[-2]
-            pos = disp[..., None] * scale + dx  # [B, H, W, K]
-            pos_g = jnp.broadcast_to(pos[..., None, :], (b, h, w, g, pos.shape[-1]))
-            taps = _gather_taps(geo, pos_g, impl)  # [B, H, W, G, K]
+            base = disp * scale - r  # tap k sits at base + k (dx = -r..r)
+            base_g = jnp.broadcast_to(base[..., None], (b, h, w, g))
+            taps = _gather_window(geo, base_g, k, impl)  # [B, H, W, G, K]
             out.append(taps.reshape(b, h, w, -1))  # group-major flatten
         corr = pyr.corr_levels[i]  # [B, H, W, W2i]
-        cpos = (coords - disp)[..., None] * scale + dx
-        out.append(_gather_taps(corr, cpos, impl))  # [B, H, W, K]
+        cbase = (coords - disp) * scale - r
+        out.append(_gather_window(corr, cbase, k, impl))  # [B, H, W, K]
     return jnp.concatenate(out, axis=-1)
 
 

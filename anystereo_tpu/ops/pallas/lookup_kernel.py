@@ -126,6 +126,115 @@ def _pallas_bwd(pos: jnp.ndarray, g: jnp.ndarray, length: int, interpret: bool):
     return dvol[:r, :length]
 
 
+# ----------------------------------------------------------------- #
+# windowed variant: taps at consecutive integer offsets from one base
+# position per row (pos_k = base + k) — the actual pyramid-lookup
+# structure (dx = -r..r).  floor(base + k) = floor(base) + k, so the
+# fractional weight is shared by all taps and K+1 single-mask lane sums
+# s_k = vol[floor(base)+k] produce out_k = (1-f)·s_k + f·s_{k+1}
+# (~45% less VPU work than 2K masked sums).
+# ----------------------------------------------------------------- #
+
+
+def _win_fwd_kernel(vol_ref, base_ref, out_ref, *, length: int, taps: int):
+    vol = vol_ref[:]  # [TR, Lpad]
+    lane = jax.lax.broadcasted_iota(jnp.int32, vol.shape, 1)
+    in_row = lane < length
+    base = base_ref[:, 0][:, None]
+    i0 = jnp.floor(base)
+    frac = (base - i0).astype(vol.dtype)
+    i0i = i0.astype(jnp.int32)
+    prev = None
+    for k in range(taps + 1):
+        s_k = jnp.sum(
+            jnp.where((lane == i0i + k) & in_row, vol, 0.0), axis=1, keepdims=True
+        )  # [TR, 1]
+        if prev is not None:
+            out_ref[:, k - 1] = ((1.0 - frac) * prev + frac * s_k)[:, 0]
+        prev = s_k
+
+
+def _win_bwd_kernel(base_ref, g_ref, dvol_ref, *, length: int, taps: int):
+    shape = dvol_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    in_row = lane < length
+    base = base_ref[:, 0][:, None]
+    i0 = jnp.floor(base)
+    frac = (base - i0).astype(dvol_ref.dtype)
+    i0i = i0.astype(jnp.int32)
+    acc = jnp.zeros(shape, dvol_ref.dtype)
+    for j in range(taps + 1):
+        coeff = jnp.zeros_like(frac)
+        if j < taps:
+            coeff = coeff + (1.0 - frac) * g_ref[:, j][:, None]
+        if j >= 1:
+            coeff = coeff + frac * g_ref[:, j - 1][:, None]
+        acc = acc + jnp.where((lane == i0i + j) & in_row, coeff, 0.0)
+    dvol_ref[:] = acc
+
+
+def _win_pallas_fwd(vol, base, taps: int, interpret: bool):
+    r, length = vol.shape
+    lpad = _round_up(max(length, 128), 128)
+    rpad = _round_up(max(r, 8), _ROW_TILE)
+    vol_p = jnp.pad(vol.astype(jnp.float32), ((0, rpad - r), (0, lpad - length)))
+    base_p = jnp.pad(base.astype(jnp.float32).reshape(-1, 1), ((0, rpad - r), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_win_fwd_kernel, length=length, taps=taps),
+        grid=(rpad // _ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, lpad), lambda i: (i, 0)),
+            pl.BlockSpec((_ROW_TILE, 1), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((_ROW_TILE, taps), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rpad, taps), jnp.float32),
+        interpret=interpret,
+    )(vol_p, base_p)
+    return out[:r]
+
+
+def _win_pallas_bwd(base, g, length: int, interpret: bool):
+    r, taps = g.shape
+    lpad = _round_up(max(length, 128), 128)
+    rpad = _round_up(max(r, 8), _ROW_TILE)
+    base_p = jnp.pad(base.astype(jnp.float32).reshape(-1, 1), ((0, rpad - r), (0, 0)))
+    g_p = jnp.pad(g.astype(jnp.float32), ((0, rpad - r), (0, 0)))
+    dvol = pl.pallas_call(
+        functools.partial(_win_bwd_kernel, length=length, taps=taps),
+        grid=(rpad // _ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, 1), lambda i: (i, 0)),
+            pl.BlockSpec((_ROW_TILE, taps), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((_ROW_TILE, lpad), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rpad, lpad), jnp.float32),
+        interpret=interpret,
+    )(base_p, g_p)
+    return dvol[:r, :length]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_window_linear(
+    vol: jnp.ndarray, base: jnp.ndarray, taps: int, interpret: bool = False
+):
+    """out[r, k] = lerp(vol[r], base[r] + k) for k in [0, taps); zero outside
+    [0, L-1].  vol: [R, L], base: [R] → [R, taps] fp32.  Positions are
+    non-differentiable (detached-disparity lookup)."""
+    return _win_pallas_fwd(vol, base, taps, interpret)
+
+
+def _gwl_fwd(vol, base, taps, interpret):
+    return _win_pallas_fwd(vol, base, taps, interpret), (base, vol.shape[1])
+
+
+def _gwl_bwd(taps, interpret, res, g):
+    base, length = res
+    return _win_pallas_bwd(base, g, length, interpret), None
+
+
+gather_window_linear.defvjp(_gwl_fwd, _gwl_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_rows_linear(vol: jnp.ndarray, pos: jnp.ndarray, interpret: bool = False):
     """Linear-interpolated row gather: out[r, k] = lerp(vol[r], pos[r, k]),

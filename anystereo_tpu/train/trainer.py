@@ -79,7 +79,8 @@ def train(
     make_train_step contract; `validate_fn(state, step)` runs held-out
     validation (the in-training validate_* of SURVEY §2.7)."""
     model = AnyStereo(cfg.model)
-    mesh = make_mesh(cfg.mesh) if jax.device_count() > 1 else None
+    use_mesh = cfg.mesh.data * max(cfg.mesh.spatial, 1) > 1
+    mesh = make_mesh(cfg.mesh) if use_mesh and jax.device_count() > 1 else None
 
     it = iter(loader)
     first = next(it)

@@ -233,3 +233,19 @@ class TestLoader:
         b = next(iter(PrefetchLoader(ds, 2, num_workers=4, seed=7)))
         np.testing.assert_array_equal(a["left"], b["left"])
         np.testing.assert_array_equal(a["disp"], b["disp"])
+
+
+class TestMultiInputMode:
+    def test_contract(self, tmp_path):
+        """multi_input_training (stereo_datasets.py:213-235): inputs
+        downscaled+padded at crop size, queries cover the crop grid."""
+        ds = _synthetic_dataset(tmp_path, multi_input=True, scale_min=1.2,
+                                scale_max=2.0)
+        s = ds.__getitem__(0, rng=np.random.RandomState(4))
+        h, w = 64, 128  # crop size of the synthetic dataset
+        assert s["left"].shape == (h, w, 3)
+        assert s["coords"].shape == (h * w, 2)
+        assert s["gt"].shape == (h * w,)
+        assert s["gt_low"].shape == (h // 4, w // 4)
+        assert 1.2 <= float(s["scale"]) <= 2.0
+        assert np.abs(s["coords"]).max() <= 1.0

@@ -1,0 +1,59 @@
+"""End-to-end trainer-loop test: synthetic data → train() for a few steps
+with checkpointing and a validation callback (the reference's train(args)
+shape, train_continuous_IGEV.py:183-281)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from anystereo_tpu.config import Config, ModelConfig, TrainConfig
+from anystereo_tpu.train.trainer import train
+
+
+class _SyntheticLoader:
+    def __init__(self, b=1, h=32, w=64, q=64, n=100):
+        self.b, self.h, self.w, self.q, self.n = b, h, w, q, n
+
+    def __iter__(self):
+        rng = np.random.RandomState(0)
+        b, h, w, q = self.b, self.h, self.w, self.q
+        for _ in range(self.n):
+            yield {
+                "left": rng.rand(b, h, w, 3).astype(np.float32) * 255,
+                "right": rng.rand(b, h, w, 3).astype(np.float32) * 255,
+                "coords": (rng.rand(b, q, 2).astype(np.float32) * 2 - 1) * 0.99,
+                "gt": rng.rand(b, q).astype(np.float32) * 20,
+                "valid": np.ones((b, q), np.float32),
+                "scale": np.ones((b,), np.float32),
+                "gt_low": rng.rand(b, h // 4, w // 4).astype(np.float32) * 5,
+            }
+
+
+class TestTrainerLoop:
+    def test_train_runs_checkpoints_and_validates(self, tmp_path):
+        cfg = Config(
+            model=ModelConfig(max_disp=32),
+            train=TrainConfig(
+                train_iters=1,
+                batch_size=1,
+                lr=1e-4,
+                num_steps=3,
+                ckpt_every=3,
+                ckpt_dir=str(tmp_path / "ckpt"),
+                supervise_init=True,
+            ),
+        )
+        calls = []
+
+        def validate_fn(state, step):
+            calls.append(step)
+            return {"epe": 1.0}
+
+        state = train(cfg, _SyntheticLoader(), validate_fn=validate_fn, max_steps=3)
+        assert int(state.step) == 3
+        assert calls == [3]
+        # full-state checkpoint exists
+        assert any(os.scandir(tmp_path / "ckpt"))
