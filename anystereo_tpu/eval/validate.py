@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import logging
 import math
+import os
 from functools import lru_cache
 from typing import Dict, Optional
 
@@ -166,10 +167,14 @@ def validate_dataset(
     max_disp: float = 1000.0,
     max_images: Optional[int] = None,
     fixed_upscale: Optional[int] = None,
+    report_dir: Optional[str] = None,
+    dump_images: bool = False,
 ) -> Dict[str, float]:
     """Generic per-image validation driver over a StereoDataset (no
     augmentor).  `dataset` must yield full-resolution samples; with
-    fixed_upscale, GT must be at upscale x the input resolution."""
+    fixed_upscale, GT must be at upscale x the input resolution.
+    report_dir enables result.txt (+ colored PNG / error-map dumps with
+    dump_images) — the reference's --record/--output flags."""
     vd = Validator(model, params, valid_iters)
     meter = AverageMeterDict()
     n = len(dataset) if max_images is None else min(len(dataset), max_images)
@@ -182,9 +187,32 @@ def validate_dataset(
             jnp.asarray(pred)[None], jnp.asarray(gt)[None], jnp.asarray(vmask)[None]
         )
         meter.update(m)
+        if report_dir is not None:
+            from anystereo_tpu.eval import reporting
+
+            name = os.path.basename(os.path.dirname(dataset.image_list[i][0]))
+            name = f"{name}_{i:04d}"
+            reporting.append_result_line(
+                os.path.join(report_dir, "result.txt"), name, m
+            )
+            if dump_images:
+                reporting.dump_disparity_png(
+                    os.path.join(report_dir, "output"), name, pred
+                )
+                reporting.dump_error_map_png(
+                    os.path.join(report_dir, "output"), name, pred, gt, vmask[0]
+                    if vmask.ndim == 3 else vmask,
+                )
         if (i + 1) % 20 == 0:
             log.info("validate %d/%d: %s", i + 1, n, meter.mean())
-    return meter.mean()
+    results = meter.mean()
+    if report_dir is not None:
+        from anystereo_tpu.eval import reporting
+
+        reporting.write_summary(
+            os.path.join(report_dir, "result.txt"), results, header="summary"
+        )
+    return results
 
 
 def run_validation(

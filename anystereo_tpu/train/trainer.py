@@ -109,6 +109,18 @@ def train(
             cfg.train.warmup_frac,
         )
         state = create_train_state(variables["params"], tx)
+        # auto-resume: full state (params + optimizer + schedule position) —
+        # the reference restores weights only and restarts its schedule
+        # (SURVEY §5); here resume continues exactly where it stopped.
+        import os
+
+        from anystereo_tpu.train.state import restore_checkpoint
+
+        if os.path.isdir(cfg.train.ckpt_dir) and any(
+            e.name.isdigit() for e in os.scandir(cfg.train.ckpt_dir)
+        ):
+            state = restore_checkpoint(cfg.train.ckpt_dir, state)
+            log.info("resumed from step %d", int(state.step))
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
 
@@ -116,9 +128,10 @@ def train(
     logger = MetricLogger(log_every=100)
 
     total = max_steps or cfg.train.num_steps
+    start = int(state.step)
     t0 = time.time()
     batch = first
-    for i in range(total):
+    for i in range(start, total):
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         state, metrics = step_fn(state, batch)
@@ -132,7 +145,9 @@ def train(
         if i + 1 < total:
             batch = next(it)
     dt = time.time() - t0
+    steps_done = max(total - start, 0)
     log.info(
-        "trained %d steps in %.1fs (%.2f steps/s)", total, dt, total / max(dt, 1e-9)
+        "trained %d steps in %.1fs (%.2f steps/s)",
+        steps_done, dt, steps_done / max(dt, 1e-9),
     )
     return state

@@ -57,3 +57,18 @@ class TestTrainerLoop:
         assert calls == [3]
         # full-state checkpoint exists
         assert any(os.scandir(tmp_path / "ckpt"))
+
+    def test_auto_resume_continues_schedule(self, tmp_path):
+        """Resume picks up step count AND optimizer state (unlike the
+        reference's weights-only restore)."""
+        cfg = Config(
+            model=ModelConfig(max_disp=32),
+            train=TrainConfig(
+                train_iters=1, batch_size=1, lr=1e-4, num_steps=4,
+                ckpt_every=2, ckpt_dir=str(tmp_path / "ckpt"),
+            ),
+        )
+        s1 = train(cfg, _SyntheticLoader(), max_steps=2)
+        assert int(s1.step) == 2
+        s2 = train(cfg, _SyntheticLoader(), max_steps=4)  # resumes at 2
+        assert int(s2.step) == 4

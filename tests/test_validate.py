@@ -82,3 +82,38 @@ class TestValidateLoop:
         v.infer(img1, img2)
         v.infer(img1, img2)
         assert len(v._fns) == 1
+
+
+class TestReporting:
+    def test_result_txt_and_pngs(self, tmp_path):
+        """--record/--output equivalents: per-image result lines, summary
+        block, colored disparity + error-map PNGs."""
+        from tests.test_data import _synthetic_dataset
+        from anystereo_tpu.nn.model import AnyStereo
+        from anystereo_tpu.config import ModelConfig
+        import jax.numpy as jnp
+
+        (tmp_path / "data").mkdir()
+        ds = _synthetic_dataset(tmp_path / "data", n=1, h=44, w=72)
+        ds.augmentor = None
+        cfg = ModelConfig(max_disp=32)
+        model = AnyStereo(cfg)
+        img1, img2, _, _ = ds._load_raw(0)
+        from anystereo_tpu.eval.validate import pad_for_dense_grid
+
+        lp, rp, ys, xs, s = pad_for_dense_grid(
+            img1[None].astype(np.float32), img2[None].astype(np.float32), 1.0, 32
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), lp, rp, iters=1, dense_grid=(ys, xs),
+            scale=jnp.asarray([s]), mode="eval",
+        )
+        rep = tmp_path / "report"
+        validate_dataset(
+            model, variables["params"], ds, valid_iters=1, divis=32,
+            max_images=1, report_dir=str(rep), dump_images=True,
+        )
+        txt = (rep / "result.txt").read_text()
+        assert "epe=" in txt and "summary" in txt
+        pngs = list((rep / "output").glob("*.png"))
+        assert len(pngs) == 2  # disparity + error map
