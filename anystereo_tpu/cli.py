@@ -13,7 +13,6 @@ a compact flag set onto the typed Config.  Usage:
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import logging
 import sys
 
@@ -66,7 +65,7 @@ def cmd_train(argv):
     p.add_argument("--num-workers", type=int, default=8)
     args = p.parse_args(argv)
 
-    from anystereo_tpu.config import Config, DataConfig, TrainConfig
+    from anystereo_tpu.config import Config, TrainConfig
     from anystereo_tpu.data.augment import AugmentorConfig
     from anystereo_tpu.data.datasets import fetch_dataset
     from anystereo_tpu.data.loader import PrefetchLoader

@@ -19,7 +19,7 @@ Spec: models/coreContinuous_IGEV/utils/augmentor.py —
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import cv2
 import numpy as np

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import copy
 import logging
-import os
 import os.path as osp
 from glob import glob
 from pathlib import Path

@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
-from os.path import basename, exists, splitext
+from os.path import basename, splitext
 from typing import Optional, Tuple, Union
 
 import numpy as np

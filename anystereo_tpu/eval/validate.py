@@ -19,7 +19,6 @@ from __future__ import annotations
 import logging
 import math
 import os
-from functools import lru_cache
 from typing import Dict, Optional
 
 import cv2

@@ -19,17 +19,16 @@ static Q so shapes stay fixed under jit.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, List, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from anystereo_tpu.config import AggregationType, CoreType, ModelConfig
-from anystereo_tpu.nn.aggregation import CostAggregation, FeatureAtt
+from anystereo_tpu.config import CoreType, ModelConfig
+from anystereo_tpu.nn.aggregation import CostAggregation
 from anystereo_tpu.nn.extractor import BasicEncoder, FeaturePyramid, MultiBasicEncoder
-from anystereo_tpu.nn.layers import ConvNormAct, make_norm
+from anystereo_tpu.nn.layers import ConvNormAct
 from anystereo_tpu.nn.liif import LiifDecoder
 from anystereo_tpu.nn.stems import StemBranch
 from anystereo_tpu.nn.update import BasicMultiUpdateBlock

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from anystereo_tpu.config import AggregationType, NormType

@@ -9,7 +9,7 @@ the motion-encoder input width (162 vs 36 lookup channels).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

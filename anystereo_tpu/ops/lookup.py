@@ -19,7 +19,7 @@ init-corr taps [K]; levels concatenated in order.  RAFT mode has no GEV:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -130,14 +130,45 @@ def pyramid_lookup(
     b, h, w = disp.shape
     r = pyr.radius
     k = 2 * r + 1
+    n_lvl = pyr.num_levels
     impl = impl or _default_impl()
     disp = disp.astype(jnp.float32)
     if coords is None:
         coords = jnp.arange(w, dtype=jnp.float32)
     coords = jnp.broadcast_to(coords, (b, h, w)).astype(jnp.float32)
 
+    if impl == "pallas":
+        # fused kernel: one call per volume computes every pyramid level
+        # from the level-0 rows (the pooled arrays in `pyr` are never read
+        # and get DCE'd under jit)
+        from anystereo_tpu.ops.pallas.lookup_kernel import gather_pyramid_window
+
+        scales = jnp.asarray([2.0**-i for i in range(n_lvl)], jnp.float32)
+        geo_taps = None
+        if pyr.geo_levels is not None:
+            geo0 = pyr.geo_levels[0]  # [B, H, W, G, D]
+            g = geo0.shape[-2]
+            bases = disp[..., None] * scales - r  # [B, H, W, levels]
+            bases_g = jnp.broadcast_to(
+                bases[..., None, :], (b, h, w, g, n_lvl)
+            ).reshape(-1, n_lvl)
+            geo_taps = gather_pyramid_window(
+                geo0.reshape(-1, geo0.shape[-1]), bases_g, k, False
+            ).reshape(b, h, w, g, n_lvl, k)
+        corr0 = pyr.corr_levels[0]
+        cbases = ((coords - disp)[..., None] * scales - r).reshape(-1, n_lvl)
+        corr_taps = gather_pyramid_window(
+            corr0.reshape(-1, corr0.shape[-1]), cbases, k, False
+        ).reshape(b, h, w, n_lvl, k)
+        out = []
+        for i in range(n_lvl):  # reference channel order per level
+            if geo_taps is not None:
+                out.append(geo_taps[..., i, :].reshape(b, h, w, -1))
+            out.append(corr_taps[..., i, :])
+        return jnp.concatenate(out, axis=-1)
+
     out = []
-    for i in range(pyr.num_levels):
+    for i in range(n_lvl):
         scale = 1.0 / (2.0**i)
         if pyr.geo_levels is not None:
             geo = pyr.geo_levels[i]  # [B, H, W, G, Di]

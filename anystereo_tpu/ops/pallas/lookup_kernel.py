@@ -24,11 +24,9 @@ oracle in tests/test_pallas.py).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # pallas is TPU/Mosaic; interpret mode works on CPU
     from jax.experimental import pallas as pl
@@ -233,6 +231,136 @@ def _gwl_bwd(taps, interpret, res, g):
 
 
 gather_window_linear.defvjp(_gwl_fwd, _gwl_bwd)
+
+
+# ----------------------------------------------------------------- #
+# fused multi-level pyramid lookup: all avg-pooled pyramid levels are
+# derived IN-KERNEL from the level-0 row.  Level-i's pooled value
+# P_i[j] = mean(row[j·2^i : (j+1)·2^i]), so a level-i tap is a masked
+# lane sum with the comparison (lane >> i == index), scaled by 2^-i —
+# no pooled arrays in HBM, one kernel per volume instead of one per
+# level (halves lookup bandwidth; build_pyramid's pooled levels get
+# DCE'd when this path is used).
+# ----------------------------------------------------------------- #
+
+
+def _pyr_fwd_kernel(vol_ref, bases_ref, out_ref, *, length: int, taps: int,
+                    levels: int):
+    vol = vol_ref[:]  # [TR, Lpad]
+    lane = jax.lax.broadcasted_iota(jnp.int32, vol.shape, 1)
+    for lvl in range(levels):
+        l_i = length >> lvl  # floor(L / 2^i) — truncating pool semantics
+        valid = lane < (l_i << lvl)
+        lane_i = jax.lax.shift_right_logical(lane, lvl)
+        inv = jnp.float32(1.0 / (1 << lvl))
+        base = bases_ref[:, lvl][:, None]
+        i0 = jnp.floor(base)
+        frac = (base - i0).astype(vol.dtype)
+        i0i = i0.astype(jnp.int32)
+        prev = None
+        for k in range(taps + 1):
+            s_k = jnp.sum(
+                jnp.where((lane_i == i0i + k) & valid, vol, 0.0),
+                axis=1,
+                keepdims=True,
+            ) * inv
+            if prev is not None:
+                out_ref[:, lvl * taps + k - 1] = (
+                    (1.0 - frac) * prev + frac * s_k
+                )[:, 0]
+            prev = s_k
+
+
+def _pyr_bwd_kernel(bases_ref, g_ref, dvol_ref, *, length: int, taps: int,
+                    levels: int):
+    shape = dvol_ref.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    acc = jnp.zeros(shape, dvol_ref.dtype)
+    for lvl in range(levels):
+        l_i = length >> lvl
+        valid = lane < (l_i << lvl)
+        lane_i = jax.lax.shift_right_logical(lane, lvl)
+        inv = jnp.float32(1.0 / (1 << lvl))
+        base = bases_ref[:, lvl][:, None]
+        i0 = jnp.floor(base)
+        frac = (base - i0).astype(acc.dtype)
+        i0i = i0.astype(jnp.int32)
+        for j in range(taps + 1):
+            coeff = jnp.zeros_like(frac)
+            if j < taps:
+                coeff = coeff + (1.0 - frac) * g_ref[:, lvl * taps + j][:, None]
+            if j >= 1:
+                coeff = coeff + frac * g_ref[:, lvl * taps + j - 1][:, None]
+            acc = acc + jnp.where((lane_i == i0i + j) & valid, coeff * inv, 0.0)
+    dvol_ref[:] = acc
+
+
+def _pyr_pallas_fwd(vol, bases, taps: int, interpret: bool):
+    r, length = vol.shape
+    levels = bases.shape[1]
+    lpad = _round_up(max(length, 128), 128)
+    rpad = _round_up(max(r, 8), _ROW_TILE)
+    vol_p = jnp.pad(vol.astype(jnp.float32), ((0, rpad - r), (0, lpad - length)))
+    bases_p = jnp.pad(bases.astype(jnp.float32), ((0, rpad - r), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_pyr_fwd_kernel, length=length, taps=taps, levels=levels),
+        grid=(rpad // _ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, lpad), lambda i: (i, 0)),
+            pl.BlockSpec((_ROW_TILE, levels), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((_ROW_TILE, levels * taps), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rpad, levels * taps), jnp.float32),
+        interpret=interpret,
+    )(vol_p, bases_p)
+    return out[:r]
+
+
+def _pyr_pallas_bwd(bases, g, length: int, interpret: bool):
+    r, lk = g.shape
+    levels = bases.shape[1]
+    taps = lk // levels
+    lpad = _round_up(max(length, 128), 128)
+    rpad = _round_up(max(r, 8), _ROW_TILE)
+    bases_p = jnp.pad(bases.astype(jnp.float32), ((0, rpad - r), (0, 0)))
+    g_p = jnp.pad(g.astype(jnp.float32), ((0, rpad - r), (0, 0)))
+    dvol = pl.pallas_call(
+        functools.partial(_pyr_bwd_kernel, length=length, taps=taps, levels=levels),
+        grid=(rpad // _ROW_TILE,),
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, levels), lambda i: (i, 0)),
+            pl.BlockSpec((_ROW_TILE, levels * taps), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((_ROW_TILE, lpad), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rpad, lpad), jnp.float32),
+        interpret=interpret,
+    )(bases_p, g_p)
+    return dvol[:r, :length]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_pyramid_window(
+    vol: jnp.ndarray, bases: jnp.ndarray, taps: int, interpret: bool = False
+):
+    """Multi-level windowed lookup from the level-0 rows only.
+
+    vol: [R, L]; bases: [R, levels] (per-level window start, in that
+    level's pooled units) → [R, levels*taps] fp32 with level-major tap
+    blocks.  Level i reads the avg-pool-by-2^i of vol (floor-truncation
+    semantics, geometry.py:24-28), computed in-kernel."""
+    return _pyr_pallas_fwd(vol, bases, taps, interpret)
+
+
+def _gpw_fwd(vol, bases, taps, interpret):
+    return _pyr_pallas_fwd(vol, bases, taps, interpret), (bases, vol.shape[1])
+
+
+def _gpw_bwd(taps, interpret, res, g):
+    bases, length = res
+    return _pyr_pallas_bwd(bases, g, length, interpret), None
+
+
+gather_pyramid_window.defvjp(_gpw_fwd, _gpw_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -19,7 +19,6 @@ torch.nn.functional.grid_sample:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

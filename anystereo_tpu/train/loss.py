@@ -13,7 +13,7 @@ All losses mask by (valid >= 0.5) & (|gt| < max_disp) as the reference does
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax.numpy as jnp
 

@@ -8,8 +8,7 @@ checkpointed with Orbax, multi-host-aware and async-capable.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -39,9 +39,6 @@ class MetricLogger:
         self.writer = None
         if tb_dir is not None:
             try:
-                from tensorboard.summary.writer.event_file_writer import (
-                    EventFileWriter,  # noqa: F401
-                )
                 import tensorflow as tf  # summary API
 
                 self.writer = tf.summary.create_file_writer(tb_dir)

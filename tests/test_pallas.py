@@ -114,21 +114,64 @@ class TestWindowKernel:
         corr = all_pairs_correlation(fl, fr)
         pyr = build_pyramid(corr, geo, 2, 2)
         want = pyramid_lookup(pyr, disp, impl="jnp")
-        # force the pallas path in interpret mode by patching the dispatcher
-        orig = lookup_mod._gather_window
+        # force the fused pallas path in interpret mode
+        import anystereo_tpu.ops.pallas.lookup_kernel as kmod
 
-        def interp_gather(vol, base, taps, impl):
-            from anystereo_tpu.ops.pallas.lookup_kernel import gather_window_linear
-
-            lead = vol.shape[:-1]
-            rows = vol.reshape(-1, vol.shape[-1])
-            out = gather_window_linear(rows, base.reshape(-1), taps, True)
-            return out.reshape(*lead, taps)
-
-        lookup_mod._gather_window = interp_gather
+        orig = kmod.gather_pyramid_window
+        kmod.gather_pyramid_window = (
+            lambda vol, bases, taps, interp=False: orig(vol, bases, taps, True)
+        )
         try:
             got = pyramid_lookup(pyr, disp, impl="pallas")
         finally:
-            lookup_mod._gather_window = orig
+            kmod.gather_pyramid_window = orig
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                    atol=1e-4)
+
+
+class TestPyramidFusedKernel:
+    def test_matches_pooled_levels(self, rng):
+        """The in-kernel lane-shift pooling must equal explicit avg-pool +
+        per-level window gather, including odd-length truncation."""
+        from anystereo_tpu.ops.pallas.lookup_kernel import gather_pyramid_window
+        from anystereo_tpu.ops.sampling import pool_half_last
+
+        r_, l, k, levels = 30, 45, 9, 3  # odd length exercises truncation
+        vol = jnp.asarray(rng.randn(r_, l).astype(np.float32))
+        bases = jnp.asarray(rng.rand(r_, levels).astype(np.float32) * 10 - 2)
+        got = np.asarray(gather_pyramid_window(vol, bases, k, True))
+        lv = vol
+        for i in range(levels):
+            pos = np.asarray(bases)[:, i : i + 1] + np.arange(k)
+            want = np.asarray(gather_1d_linear(lv, jnp.asarray(pos)))
+            np.testing.assert_allclose(
+                got[:, i * k : (i + 1) * k], want, rtol=1e-4, atol=1e-5,
+                err_msg=f"level {i}",
+            )
+            lv = pool_half_last(lv)
+
+    def test_fused_vjp_matches_oracle(self, rng):
+        from anystereo_tpu.ops.pallas.lookup_kernel import gather_pyramid_window
+        from anystereo_tpu.ops.sampling import pool_half_last
+
+        r_, l, k, levels = 8, 24, 5, 2
+        vol = jnp.asarray(rng.randn(r_, l).astype(np.float32))
+        bases = jnp.asarray(rng.rand(r_, levels).astype(np.float32) * 6)
+        g = jnp.asarray(rng.randn(r_, levels * k).astype(np.float32))
+
+        def oracle(v):
+            lv, tot = v, 0.0
+            for i in range(levels):
+                pos = bases[:, i : i + 1] + jnp.arange(k, dtype=jnp.float32)
+                tot = tot + (
+                    gather_1d_linear(lv, pos) * g[:, i * k : (i + 1) * k]
+                ).sum()
+                lv = pool_half_last(lv)
+            return tot
+
+        want = jax.grad(oracle)(vol)
+        got = jax.grad(
+            lambda v: (gather_pyramid_window(v, bases, k, True) * g).sum()
+        )(vol)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                                   atol=1e-5)
