@@ -111,6 +111,34 @@ def pad_for_fixed_upscale(left, right, up: int, divis: int = 16):
     return left_p, right_p, jnp.asarray(ys), jnp.asarray(xs), float(up)
 
 
+def kitti_occ_provider(dataset, index) -> Optional[np.ndarray]:
+    """Occlusion mask for KITTI: the reference compares the disp_occ and
+    disp_noc GT images (evaluation_validate.py:271-282 — note its
+    mask_occlu name actually selects occ==noc, i.e. the NON-occluded
+    region; here True = genuinely occluded)."""
+    occ_path = dataset.disparity_list[index]
+    noc_path = occ_path.replace("disp_occ_0", "disp_noc_0").replace(
+        "disp_occ", "disp_noc"
+    )
+    if noc_path == occ_path or not os.path.exists(noc_path):
+        return None
+    from PIL import Image
+
+    occ_img = np.asarray(Image.open(occ_path))
+    noc_img = np.asarray(Image.open(noc_path))
+    return occ_img != noc_img
+
+
+def nocc_mask_occ_provider(dataset, index) -> Optional[np.ndarray]:
+    """Middlebury/ETH3D: the reader's valid IS mask0nocc — occluded =
+    complement of the non-occluded mask (evaluation_validate.py:478-483)."""
+    disp = dataset.reader(dataset.disparity_list[index])
+    if not isinstance(disp, tuple):
+        return None
+    _, nocc = disp
+    return ~np.asarray(nocc, bool)
+
+
 class Validator:
     """Caches one jitted eval function per padded shape (per-image loop has
     a handful of shape buckets per dataset)."""
@@ -168,6 +196,7 @@ def validate_dataset(
     fixed_upscale: Optional[int] = None,
     report_dir: Optional[str] = None,
     dump_images: bool = False,
+    occ_provider=None,
 ) -> Dict[str, float]:
     """Generic per-image validation driver over a StereoDataset (no
     augmentor).  `dataset` must yield full-resolution samples; with
@@ -182,8 +211,12 @@ def validate_dataset(
         gt = flow[..., 0]
         pred = vd.infer(img1, img2, scale_test, divis, fixed_upscale)
         vmask = (np.asarray(valid) > 0) & (gt > 0) & (gt < max_disp)
+        occ = occ_provider(dataset, i) if occ_provider is not None else None
         m = compute_metrics(
-            jnp.asarray(pred)[None], jnp.asarray(gt)[None], jnp.asarray(vmask)[None]
+            jnp.asarray(pred)[None],
+            jnp.asarray(gt)[None],
+            jnp.asarray(vmask)[None],
+            None if occ is None else jnp.asarray(occ)[None],
         )
         meter.update(m)
         if report_dir is not None:
@@ -269,7 +302,13 @@ def run_validation(
     )(jax.random.PRNGKey(0))
     params = restore_params_only(ckpt_dir, variables["params"])
     divis = 32 if model_cfg.core is CoreType.IGEV else 16
+    occ_provider = None
+    if dataset.startswith("kitti"):
+        occ_provider = kitti_occ_provider
+    elif dataset.startswith("middlebury") or dataset == "eth3d":
+        occ_provider = nocc_mask_occ_provider
     return validate_dataset(
         model, params, ds, valid_iters, scale_test, divis,
         max_images=max_images, fixed_upscale=fixed_upscale,
+        occ_provider=occ_provider,
     )

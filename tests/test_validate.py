@@ -2,6 +2,8 @@
 (evaluation_validate.py:66-90 semantics, incl. the get_pad_num fix) and an
 end-to-end per-image validation loop with a tiny model."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -117,3 +119,42 @@ class TestReporting:
         assert "epe=" in txt and "summary" in txt
         pngs = list((rep / "output").glob("*.png"))
         assert len(pngs) == 2  # disparity + error map
+
+
+class TestOccProviders:
+    def test_kitti_occ_provider(self, tmp_path):
+        import cv2
+        from anystereo_tpu.eval.validate import kitti_occ_provider
+        from anystereo_tpu.data.datasets import StereoDataset
+        from anystereo_tpu.data.frame_utils import read_disp_kitti
+
+        occ = np.zeros((6, 8), np.uint16)
+        noc = np.zeros((6, 8), np.uint16)
+        occ[2, 3] = 1000  # valid in occ GT only → occluded pixel
+        occ[4, 5] = 500
+        noc[4, 5] = 500  # agrees → non-occluded
+        p_occ = str(tmp_path / "disp_occ_0"); os.makedirs(p_occ)
+        p_noc = str(tmp_path / "disp_noc_0"); os.makedirs(p_noc)
+        cv2.imwrite(p_occ + "/000000_10.png", occ)
+        cv2.imwrite(p_noc + "/000000_10.png", noc)
+        ds = StereoDataset(reader=read_disp_kitti, sparse=True)
+        ds.disparity_list = [p_occ + "/000000_10.png"]
+        mask = kitti_occ_provider(ds, 0)
+        assert mask[2, 3] and not mask[4, 5]
+        assert mask.sum() == 1
+
+    def test_nocc_provider_from_tuple_reader(self, tmp_path):
+        from anystereo_tpu.eval.validate import nocc_mask_occ_provider
+        from anystereo_tpu.data.datasets import StereoDataset
+
+        nocc = np.zeros((4, 4), bool)
+        nocc[1:3, 1:3] = True
+
+        def reader(path):
+            return np.ones((4, 4), np.float32), nocc
+
+        ds = StereoDataset(reader=reader, sparse=True)
+        ds.disparity_list = ["dummy"]
+        occ = nocc_mask_occ_provider(ds, 0)
+        assert occ.sum() == 16 - 4
+        assert not occ[1, 1]
