@@ -130,6 +130,10 @@ class ModelConfig:
     # Precision policy: bf16 compute, fp32 params, fp32 lookup/regression.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # Rematerialize each GRU iteration's activations in the backward pass
+    # (jax.checkpoint): trades ~1 extra forward per iteration for O(1)
+    # activation memory across the scan — enables larger crops/batches.
+    remat: bool = False
 
     @property
     def volume_disp(self) -> int:

@@ -129,6 +129,23 @@ def kitti_occ_provider(dataset, index) -> Optional[np.ndarray]:
     return occ_img != noc_img
 
 
+def sceneflow_occ_provider(dataset, index) -> Optional[np.ndarray]:
+    """SceneFlow: occlusion by left-right GT consistency
+    (evaluation_validate.py:366 with occ_mask/warp,
+    metrics_utils/experiment.py:267-296): a pixel is occluded when the
+    right-view disparity warped to the left disagrees by > 3 px."""
+    left_path = dataset.disparity_list[index]
+    right_path = left_path.replace("/left/", "/right/")
+    if right_path == left_path or not os.path.exists(right_path):
+        return None
+    from anystereo_tpu.data.frame_utils import read_pfm
+    from anystereo_tpu.eval.occlusion import occ_mask
+
+    dl = read_pfm(left_path)
+    dr = read_pfm(right_path)
+    return np.asarray(occ_mask(jnp.asarray(dl)[None], jnp.asarray(dr)[None]))[0]
+
+
 def nocc_mask_occ_provider(dataset, index) -> Optional[np.ndarray]:
     """Middlebury/ETH3D: the reader's valid IS mask0nocc — occluded =
     complement of the non-occluded mask (evaluation_validate.py:478-483)."""
@@ -307,6 +324,8 @@ def run_validation(
         occ_provider = kitti_occ_provider
     elif dataset.startswith("middlebury") or dataset == "eth3d":
         occ_provider = nocc_mask_occ_provider
+    elif dataset == "sceneflow":
+        occ_provider = sceneflow_occ_provider
     return validate_dataset(
         model, params, ds, valid_iters, scale_test, divis,
         max_images=max_images, fixed_upscale=fixed_upscale,

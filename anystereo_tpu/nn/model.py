@@ -322,6 +322,9 @@ class AnyStereo(nn.Module):
                 disp_up = mdl._upsample(disp, net[0], stems, coords, scale)
                 return (net, disp), disp_up
 
+            if cfg.remat:
+                # O(1) activation memory across the iteration scan
+                body = nn.remat(body, prevent_cse=False)
             scanned = nn.scan(
                 body,
                 variable_broadcast="params",

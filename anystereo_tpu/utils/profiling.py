@@ -27,6 +27,19 @@ def count_params(params) -> int:
     return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
 
 
+def flops_estimate(fn: Callable, *args) -> Optional[float]:
+    """Compiler-reported FLOPs of one call (the working version of the
+    reference's never-invoked fvcore FlopCountAnalysis, evaluation.py:23)."""
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, list):  # per-device list on some backends
+            cost = cost[0]
+        return float(cost.get("flops", float("nan")))
+    except Exception:
+        return None
+
+
 def device_timer(fn: Callable, *args, n: int = 3, warmup: int = 1) -> float:
     """Median seconds per call with a host round-trip on the output."""
     for _ in range(warmup):

@@ -115,3 +115,35 @@ class TestRaftCore:
         cfg = raft_config()
         assert cfg.lookup_channels == 4 * 9
         assert ModelConfig().lookup_channels == 2 * 9 * 9  # 162 (update.py:77)
+
+
+class TestRemat:
+    def test_remat_grads_match_no_remat(self, igev_setup):
+        """jax.checkpoint over the GRU scan must not change gradients."""
+        model, variables, left, right, coords, scale = igev_setup
+        from anystereo_tpu.config import ModelConfig
+        import dataclasses
+
+        cfg_r = dataclasses.replace(model.cfg, remat=True)
+        model_r = AnyStereo(cfg_r)
+
+        def loss(mdl, params):
+            out = mdl.apply(
+                {"params": params}, left, right, iters=2, coords=coords,
+                scale=scale, mode="train",
+            )
+            return jnp.abs(out.disp_preds).mean()
+
+        g0 = jax.grad(lambda p: loss(model, p))(variables["params"])
+        g1 = jax.grad(lambda p: loss(model_r, p))(variables["params"])
+        a = np.concatenate(
+            [np.asarray(x, np.float32).ravel()
+             for x in jax.tree_util.tree_leaves(g0)]
+        )
+        b = np.concatenate(
+            [np.asarray(x, np.float32).ravel()
+             for x in jax.tree_util.tree_leaves(g1)]
+        )
+        # bf16 recompute reorders accumulations; require global agreement
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-12)
+        assert rel < 0.02, rel
