@@ -81,6 +81,17 @@ def compute_metrics(
     return out
 
 
+def iou_metric(pred_mask: jnp.ndarray, gt_mask: jnp.ndarray) -> jnp.ndarray:
+    """Binary-mask IoU, per image then averaged (compute_iou,
+    metrics_utils/metrics.py:152-173; used for occlusion-prediction heads)."""
+    p = pred_mask.astype(bool)
+    g = gt_mask.astype(bool)
+    axes = tuple(range(1, p.ndim))
+    inter = (p & g).sum(axes).astype(jnp.float32)
+    union = (p | g).sum(axes).astype(jnp.float32)
+    return (inter / jnp.maximum(union, 1.0)).mean()
+
+
 class AverageMeterDict:
     """Running means over per-image metric dicts
     (metrics_utils/experiment.py:112-153)."""

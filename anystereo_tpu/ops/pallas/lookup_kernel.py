@@ -233,6 +233,21 @@ def _gwl_bwd(taps, interpret, res, g):
 gather_window_linear.defvjp(_gwl_fwd, _gwl_bwd)
 
 
+# Performance notes (measured on v5e, 384x1248 IGEV, 2026-08-17):
+#   - XLA take_along_axis lookup: ~175 ms/GRU-iter (per-element scalar
+#     gathers).  Masked-lane-reduction kernels: ~7 ms/iter, of which the
+#     GEV volume dominates (240k rows x 128 padded lanes; D=48 wastes
+#     2.7x lane width).  The windowed form (shared fractional weight,
+#     K+1 single-mask sums) and the fused multi-level form (below) are
+#     each ~equal-compute but remove HBM traffic and grid overhead.
+#   - Further headroom for round 2: the kernel runs at ~0.5 T lane-ops/s
+#     (~2-3x off VPU peak).  Packing two G-rows per 128-lane row does NOT
+#     help (mask-sum work scales with lanes x sums, and sums double).  A
+#     formulation that shares the per-pixel tap weights across the G axis
+#     (out[g,k] = vol[g,:] @ w[:,k]) maps to per-sublane small matmuls the
+#     MXU can't batch; the remaining levers are narrower row tiles with
+#     better pipelining, bf16 row storage, and merging the corr+GEV calls.
+
 # ----------------------------------------------------------------- #
 # fused multi-level pyramid lookup: all avg-pooled pyramid levels are
 # derived IN-KERNEL from the level-0 row.  Level-i's pooled value

@@ -29,6 +29,14 @@ def one_cycle_schedule(
     )
 
 
+def step_decay_schedule(base_lr: float, milestones, gamma: float = 0.5):
+    """Piecewise step decay (adjust_learning_rate,
+    metrics_utils/experiment.py:91-109): lr = base * gamma^(#milestones
+    passed).  `milestones` in steps."""
+    boundaries_and_scales = {int(m): gamma for m in milestones}
+    return optax.piecewise_constant_schedule(base_lr, boundaries_and_scales)
+
+
 def make_optimizer(
     lr: float = 2e-4,
     weight_decay: float = 1e-5,

@@ -104,3 +104,12 @@ class TestOcclusion:
         # first 2 columns sample out of bounds (warp reads zeros) → occluded
         assert bool(occ[:, :, int(d) :].sum() == 0)
         assert bool(occ[:, :, : int(d)].all())
+
+
+class TestIou:
+    def test_iou_metric(self):
+        from anystereo_tpu.eval.metrics import iou_metric
+
+        p = jnp.zeros((1, 4, 4), bool).at[0, :2].set(True)   # 8 px
+        g = jnp.zeros((1, 4, 4), bool).at[0, 1:3].set(True)  # 8 px, overlap 4
+        assert float(iou_metric(p, g)) == pytest.approx(4 / 12)

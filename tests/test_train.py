@@ -152,3 +152,13 @@ class TestTrainStep:
         b = jax.tree_util.tree_leaves(restored.params)
         assert all(np.allclose(np.asarray(x), np.asarray(y)) for x, y in zip(a, b))
         assert int(restored.step) == int(state.step)
+
+
+class TestStepDecay:
+    def test_step_decay_schedule(self):
+        from anystereo_tpu.train.optimizer import step_decay_schedule
+
+        sched = step_decay_schedule(1e-3, milestones=[10, 20], gamma=0.5)
+        assert float(sched(5)) == pytest.approx(1e-3)
+        assert float(sched(15)) == pytest.approx(5e-4)
+        assert float(sched(25)) == pytest.approx(2.5e-4)
