@@ -22,6 +22,24 @@ def collate_batch(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]
     return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
 
 
+def device_prefetch(iterator: Iterator[Dict[str, np.ndarray]], size: int = 2):
+    """Wrap a host-batch iterator so device_put of batch N+1 overlaps the
+    step running on batch N (async dispatch): yields device-resident
+    batches.  The torch analog is DataLoader(pin_memory=True) + H2D
+    overlap, which the reference relies on implicitly."""
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(jax.device_put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class PrefetchLoader:
     """Iterate shuffled batches forever (drop_last semantics).
 

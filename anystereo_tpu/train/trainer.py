@@ -79,7 +79,9 @@ def train(
     use_mesh = cfg.mesh.data * max(cfg.mesh.spatial, 1) > 1
     mesh = make_mesh(cfg.mesh) if use_mesh and jax.device_count() > 1 else None
 
-    it = iter(loader)
+    from anystereo_tpu.data.loader import device_prefetch
+
+    it = device_prefetch(iter(loader)) if mesh is None else iter(loader)
     first = next(it)
 
     if state is None:

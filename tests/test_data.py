@@ -249,3 +249,14 @@ class TestMultiInputMode:
         assert s["gt_low"].shape == (h // 4, w // 4)
         assert 1.2 <= float(s["scale"]) <= 2.0
         assert np.abs(s["coords"]).max() <= 1.0
+
+
+class TestDevicePrefetch:
+    def test_yields_all_batches_in_order(self):
+        from anystereo_tpu.data.loader import device_prefetch
+
+        batches = [{"x": np.full((2,), i, np.float32)} for i in range(5)]
+        out = list(device_prefetch(iter(batches), size=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            assert float(b["x"][0]) == i
