@@ -1,0 +1,136 @@
+"""End-to-end demo/smoke: every subsystem in one run.
+
+Generates a small synthetic stereo dataset on disk (PNG images + PFM GT
+with spatially-varying disparity), trains the IGEV model through the real
+pipeline (StereoDataset multi-scale sampling → augmentor → PrefetchLoader →
+trainer with checkpoints), then evaluates held-out pairs through the
+validator (padding + dense decode + metrics) and prints the EPE.
+
+  PYTHONPATH=. python tools/e2e_demo.py --steps 150 --out /tmp/e2e
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_dataset(root: str, n: int, h: int = 96, w: int = 192, seed: int = 0):
+    """Synthetic textured stereo pairs: right = warp(left) by a smooth
+    disparity field; GT written as PFM."""
+    import cv2
+    from PIL import Image
+
+    from anystereo_tpu.data.frame_utils import write_pfm
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    margin = 24
+    for i in range(n):
+        tex = cv2.GaussianBlur(
+            rng.rand(h, w + margin, 3).astype(np.float32), (0, 0), 1.2
+        )
+        tex = (tex - tex.min()) / (tex.max() - tex.min()) * 255
+        # smooth disparity field in [4, 14] px
+        dgrid = cv2.GaussianBlur(rng.rand(h, w).astype(np.float32), (0, 0), 12)
+        dgrid = 4 + 10 * (dgrid - dgrid.min()) / max(dgrid.ptp(), 1e-6)
+        left = tex[:, margin:]
+        xs = np.arange(w)[None, :] + margin - dgrid
+        right = np.stack(
+            [
+                cv2.remap(
+                    tex[..., c],
+                    xs.astype(np.float32),
+                    np.tile(np.arange(h)[:, None], (1, w)).astype(np.float32),
+                    cv2.INTER_LINEAR,
+                )
+                for c in range(3)
+            ],
+            axis=-1,
+        )
+        Image.fromarray(left.astype(np.uint8)).save(f"{root}/l{i:03d}.png")
+        Image.fromarray(right.astype(np.uint8)).save(f"{root}/r{i:03d}.png")
+        write_pfm(f"{root}/d{i:03d}.pfm", dgrid.astype(np.float32))
+
+
+def build(root, n, multi_scale, inp_size):
+    from anystereo_tpu.data.augment import AugmentorConfig
+    from anystereo_tpu.data.datasets import StereoDataset
+
+    ds = StereoDataset(
+        aug=AugmentorConfig(
+            crop_size=inp_size, min_scale=-0.1, max_scale=0.2, yjitter=False,
+            eraser_prob=0.2,
+        ),
+        multi_scale=multi_scale,
+        scale_min=1.0,
+        scale_max=1.6,
+        inp_size=inp_size,
+    )
+    for i in range(n):
+        ds.image_list.append([f"{root}/l{i:03d}.png", f"{root}/r{i:03d}.png"])
+        ds.disparity_list.append(f"{root}/d{i:03d}.pfm")
+    return ds
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/anystereo_e2e")
+    ap.add_argument("--steps", type=int, default=150)
+    ap.add_argument("--pairs", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+
+    from anystereo_tpu.config import Config, ModelConfig, TrainConfig
+    from anystereo_tpu.data.loader import PrefetchLoader
+    from anystereo_tpu.eval.validate import validate_dataset
+    from anystereo_tpu.nn.model import AnyStereo
+    from anystereo_tpu.train.state import restore_checkpoint, create_train_state
+    from anystereo_tpu.train.trainer import train
+
+    data_root = os.path.join(args.out, "data")
+    make_dataset(data_root, args.pairs + 4)
+
+    inp = (64, 128)
+    train_ds = build(data_root, args.pairs, multi_scale=True, inp_size=inp)
+    cfg = Config(
+        model=ModelConfig(max_disp=64),
+        train=TrainConfig(
+            train_iters=4,
+            batch_size=2,
+            lr=4e-4,
+            num_steps=args.steps,
+            warmup_frac=0.05,
+            ckpt_every=args.steps,
+            ckpt_dir=os.path.join(args.out, "ckpt"),
+            supervise_init=True,
+            inp_size=inp,
+            scale_min=1.0,
+            scale_max=1.6,
+        ),
+    )
+    loader = PrefetchLoader(train_ds, cfg.train.batch_size, num_workers=4, seed=0)
+    state = train(cfg, loader)
+
+    # held-out pairs through the full validator (pad + dense decode + metrics)
+    val_ds = build(data_root, args.pairs + 4, multi_scale=False, inp_size=inp)
+    val_ds.image_list = val_ds.image_list[args.pairs :]
+    val_ds.disparity_list = val_ds.disparity_list[args.pairs :]
+    val_ds.augmentor = None
+    model = AnyStereo(cfg.model)
+    results = validate_dataset(
+        model, state.params, val_ds, valid_iters=8,
+        report_dir=os.path.join(args.out, "report"), dump_images=True,
+    )
+    print("held-out validation:", {k: round(v, 3) for k, v in results.items()})
+    ok = results["epe"] < 2.0
+    print("E2E", "PASS" if ok else "WEAK", f"epe={results['epe']:.3f}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
