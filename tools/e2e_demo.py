@@ -36,7 +36,7 @@ def make_dataset(root: str, n: int, h: int = 96, w: int = 192, seed: int = 0):
         tex = (tex - tex.min()) / (tex.max() - tex.min()) * 255
         # smooth disparity field in [4, 14] px
         dgrid = cv2.GaussianBlur(rng.rand(h, w).astype(np.float32), (0, 0), 12)
-        dgrid = 4 + 10 * (dgrid - dgrid.min()) / max(dgrid.ptp(), 1e-6)
+        dgrid = 4 + 10 * (dgrid - dgrid.min()) / max(float(np.ptp(dgrid)), 1e-6)
         left = tex[:, margin:]
         xs = np.arange(w)[None, :] + margin - dgrid
         right = np.stack(
