@@ -173,9 +173,21 @@ class LiifDecoder(nn.Module):
             name=f"isu_{i}",
         )(feat)
 
-    def _mlp(self, latent):
+    def _make_mlp(self):
+        # created ONCE per __call__ (compact naming) and invoked repeatedly
+        # — the local-ensemble path evaluates it at 4 neighbor offsets
         return Mlp(self.cfg.mlp_hidden, self.cfg.taps, dtype=self.dtype,
-                   name="imnet")(latent)
+                   name="imnet")
+
+    def _make_posenc(self, i):
+        cfg = self.cfg
+        if cfg.pos_enc is PosEncType.SPATIAL and cfg.pos_dim > 0:
+            return SpatialEncoding(cfg.pos_dim, name=f"posenc_{i}")
+        if cfg.pos_enc is PosEncType.SINUSOID:
+            return SinusoidPositionEncoder(
+                enc_dim=max(cfg.pos_dim, 8), name=f"posenc_{i}"
+            )
+        return None
 
     @nn.compact
     def __call__(
@@ -190,9 +202,11 @@ class LiifDecoder(nn.Module):
         if coords is None:
             return self._decode_dense(feats, ys, xs, scale)
         feats = [self._augment(f, i) for i, f in enumerate(feats)]
+        mlp = self._make_mlp()
+        posencs = [self._make_posenc(i) for i in range(len(feats))]
         if not cfg.local_ensemble:
-            latent, _ = self._build_latent(feats, coords, coords, scale)
-            return self._mlp(latent)
+            latent, _ = self._build_latent(feats, coords, coords, scale, posencs)
+            return mlp(latent)
         # 4-neighbor local ensemble (liif_out local path, liif.py:384-414):
         # decode at each diagonal neighbor cell, blend by the SWAPPED
         # opposite-cell areas.  The reference defines this for its
@@ -207,8 +221,10 @@ class LiifDecoder(nn.Module):
                 shifted = coords + jnp.asarray(
                     [vy * ry + eps, vx * rx + eps], coords.dtype
                 )
-                latent, rel0 = self._build_latent(feats, shifted, coords, scale)
-                preds.append(self._mlp(latent))
+                latent, rel0 = self._build_latent(
+                    feats, shifted, coords, scale, posencs
+                )
+                preds.append(mlp(latent))
                 areas.append(
                     jnp.abs(rel0[..., 0] * rel0[..., 1]) + 1e-9
                 )  # liif.py:95-96
@@ -220,7 +236,7 @@ class LiifDecoder(nn.Module):
             out = out + pred * (area / tot)[..., None].astype(pred.dtype)
         return out
 
-    def _build_latent(self, feats, sample_coords, rel_coords, scale):
+    def _build_latent(self, feats, sample_coords, rel_coords, scale, posencs):
         """Concatenated per-feat latent at `sample_coords`, with relative
         coords measured from `rel_coords` (liif_feat, liif.py:77-87).
         Returns (latent [B,Q,C], rel of the first feat)."""
@@ -237,12 +253,8 @@ class LiifDecoder(nn.Module):
             )  # liif.py:127-129
             if rel0 is None:
                 rel0 = rel
-            if cfg.pos_enc is PosEncType.SPATIAL and cfg.pos_dim > 0:
-                rel = SpatialEncoding(cfg.pos_dim, name=f"posenc_{i}")(rel)
-            elif cfg.pos_enc is PosEncType.SINUSOID:
-                rel = SinusoidPositionEncoder(
-                    enc_dim=max(cfg.pos_dim, 8), name=f"posenc_{i}"
-                )(rel)
+            if posencs[i] is not None:
+                rel = posencs[i](rel)
             piece = [q_feat, rel.astype(q_feat.dtype)]
             if cfg.decode_cell:
                 assert scale is not None
@@ -280,8 +292,9 @@ class LiifDecoder(nn.Module):
                 ],
                 axis=-1,
             )  # [H', W', 2]
-            if cfg.pos_enc is PosEncType.SPATIAL and cfg.pos_dim > 0:
-                rel = SpatialEncoding(cfg.pos_dim, name=f"posenc_{i}")(rel)
+            penc = self._make_posenc(i)
+            if penc is not None:
+                rel = penc(rel)
             rel = jnp.broadcast_to(rel[None], (b, oh, ow, rel.shape[-1]))
             piece = [qf, rel.astype(qf.dtype)]
             if cfg.decode_cell:
@@ -291,7 +304,7 @@ class LiifDecoder(nn.Module):
                 piece.append(cell)
             pieces.append(jnp.concatenate(piece, axis=-1))
         latent = jnp.concatenate(pieces, axis=-1)
-        return self._mlp(latent)  # [B, H', W', taps]
+        return self._make_mlp()(latent)  # [B, H', W', taps]
 
 
 def decoder_input_dim(cfg: LiifConfig, channel_list: Sequence[int]) -> int:
