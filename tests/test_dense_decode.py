@@ -14,6 +14,10 @@ from anystereo_tpu.nn.model import AnyStereo, dense_query_coords
 from anystereo_tpu.ops.coords import _axis_centers
 
 
+# model-compile-heavy; deselect with -m 'not slow' for quick runs
+pytestmark = pytest.mark.slow
+
+
 class TestDenseDecodeParity:
     def test_matches_query_decode_on_grid(self):
         cfg = ModelConfig(max_disp=32)

@@ -6,6 +6,12 @@ import numpy as np
 import jax
 
 
+import pytest
+
+# model-compile-heavy; deselect with -m 'not slow' for quick runs
+pytestmark = pytest.mark.slow
+
+
 def test_entry_compiles_and_runs():
     import __graft_entry__ as ge
 

@@ -14,6 +14,10 @@ from anystereo_tpu.config import LiifConfig, ModelConfig, raft_config
 from anystereo_tpu.nn.model import AnyStereo, dense_query_coords
 
 
+# model-compile-heavy; deselect with -m 'not slow' for quick runs
+pytestmark = pytest.mark.slow
+
+
 def tiny_igev(**kw):
     base = dict(max_disp=32, corr_levels=2, corr_radius=4)
     base.update(kw)

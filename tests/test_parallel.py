@@ -13,6 +13,10 @@ from anystereo_tpu.config import MeshConfig
 from anystereo_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
 
 
+# model-compile-heavy; deselect with -m 'not slow' for quick runs
+pytestmark = pytest.mark.slow
+
+
 class TestMesh:
     def test_make_mesh_shapes(self, cpu_devices):
         mesh = make_mesh(MeshConfig(data=4, spatial=2))

@@ -13,6 +13,10 @@ from jax.experimental.shard_map import shard_map
 from anystereo_tpu.parallel.spatial import halo_exchange, infer_spatial_sharded
 
 
+# model-compile-heavy; deselect with -m 'not slow' for quick runs
+pytestmark = pytest.mark.slow
+
+
 class TestHaloExchange:
     def test_interior_halos_match_neighbors(self, cpu_devices):
         n_dev, h, w = 4, 16, 8

@@ -21,6 +21,10 @@ from anystereo_tpu.train.state import create_train_state, restore_checkpoint, sa
 from anystereo_tpu.train.step import make_train_step
 
 
+# model-compile-heavy; deselect with -m 'not slow' for quick runs
+pytestmark = pytest.mark.slow
+
+
 class TestLoss:
     def test_iter_weights_match_reference(self):
         """w_i = (gamma^(15/(N-1)))^(N-1-i) (train_continuous_IGEV.py:49-51)."""

@@ -13,6 +13,10 @@ from anystereo_tpu.config import Config, ModelConfig, TrainConfig
 from anystereo_tpu.train.trainer import train
 
 
+# model-compile-heavy; deselect with -m 'not slow' for quick runs
+pytestmark = pytest.mark.slow
+
+
 class _SyntheticLoader:
     def __init__(self, b=1, h=32, w=64, q=64, n=100):
         self.b, self.h, self.w, self.q, self.n = b, h, w, q, n

@@ -16,6 +16,10 @@ from anystereo_tpu.nn.model import AnyStereo
 from anystereo_tpu.ops.coords import make_coord
 
 
+# model-compile-heavy; deselect with -m 'not slow' for quick runs
+pytestmark = pytest.mark.slow
+
+
 class TestPadForQueries:
     def test_scale1_coords_cover_unpadded_region(self):
         h, w = 30, 50

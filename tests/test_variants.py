@@ -39,6 +39,10 @@ def _run(cfg, b=1, h=32, w=64, q=32):
     return out
 
 
+# model-compile-heavy; deselect with -m 'not slow' for quick runs
+pytestmark = pytest.mark.slow
+
+
 class TestAggVariants:
     @pytest.mark.parametrize(
         "agg", [AggregationType.TYPE1, AggregationType.TYPE2,
