@@ -88,7 +88,14 @@ class LiifConfig:
     pos_dim: int = 0
     decode_cell: bool = False
     local_ensemble: bool = False  # 4-neighbor area-weighted blend (liif.py:384-414)
-    quarter_nearest: bool = False  # 4-nearest-tap variant (out dim 4 instead of 9)
+    # 4-nearest-tap variant (reference --quater_nearest, values None /
+    # 'only_disp' / 'both', liif.py:636-640):
+    #   'only_disp': the decoder emits 4 weights combining the 4 nearest
+    #                low-res disparities (instead of a 3x3 unfold);
+    #   'both':      additionally the MLP INPUT samples and concatenates the
+    #                4 nearest latent pixels (liif_feat_multiscale_train_quater,
+    #                liif.py:142-179) — latent width x4.
+    quarter_nearest: str = "none"  # 'none' | 'only_disp' | 'both'
     taps: int = 9  # 3x3 neighborhood weights produced by the MLP
     # Disparity normalization before decoding (continuous_IGEVstereo.py:198-201,
     # 223-235): 'none' | 'width' (disp/W, denorm by round(4*W*scale)) |
@@ -96,7 +103,13 @@ class LiifConfig:
     disparity_norm: str = "none"
 
     def __post_init__(self):
-        if self.quarter_nearest:
+        if self.quarter_nearest is True:  # legacy bool spelling
+            object.__setattr__(self, "quarter_nearest", "only_disp")
+        elif self.quarter_nearest is False or self.quarter_nearest is None:
+            object.__setattr__(self, "quarter_nearest", "none")
+        if self.quarter_nearest not in ("none", "only_disp", "both"):
+            raise ValueError(f"quarter_nearest: {self.quarter_nearest!r}")
+        if self.quarter_nearest != "none":
             object.__setattr__(self, "taps", 4)
 
 

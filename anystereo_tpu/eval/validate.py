@@ -147,13 +147,24 @@ def sceneflow_occ_provider(dataset, index) -> Optional[np.ndarray]:
 
 
 def nocc_mask_occ_provider(dataset, index) -> Optional[np.ndarray]:
-    """Middlebury/ETH3D: the reader's valid IS mask0nocc — occluded =
-    complement of the non-occluded mask (evaluation_validate.py:478-483)."""
+    """Middlebury/ETH3D: occluded = complement of the mask0nocc mask.
+
+    Middlebury's reader already returns (disp, nocc)
+    (evaluation_validate.py:478-483); ETH3D uses the bare PFM reader (its
+    valid semantics are disp-based, stereo_datasets.py:317-327), so read
+    mask0nocc.png from beside disp0GT.pfm as the reference eval does
+    (evaluation_validate.py:161-166)."""
     disp = dataset.reader(dataset.disparity_list[index])
-    if not isinstance(disp, tuple):
-        return None
-    _, nocc = disp
-    return ~np.asarray(nocc, bool)
+    if isinstance(disp, tuple):
+        _, nocc = disp
+        return ~np.asarray(nocc, bool)
+    path = dataset.disparity_list[index]
+    mask_path = path.replace("disp0GT.pfm", "mask0nocc.png")
+    if mask_path != path and os.path.exists(mask_path):
+        from PIL import Image
+
+        return np.asarray(Image.open(mask_path)) != 255
+    return None
 
 
 class Validator:

@@ -98,7 +98,8 @@ _ACTS = {
     "leaky": lambda x: nn.leaky_relu(x, negative_slope=0.01),  # torch default slope
     "relu": nn.relu,
     "relu6": lambda x: jnp.clip(x, 0.0, 6.0),
-    "gelu": nn.gelu,
+    # exact (erf) form — torch nn.GELU() default (submodule.py:252)
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "tanh": jnp.tanh,
     None: lambda x: x,
 }

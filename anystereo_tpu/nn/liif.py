@@ -245,9 +245,28 @@ class LiifDecoder(nn.Module):
         pieces, rel0 = [], None
         for i, feat in enumerate(feats):
             fh, fw = feat.shape[1], feat.shape[2]
-            cl = jnp.clip(sample_coords, -1 + 1e-6, 1 - 1e-6)
-            q_feat = nearest_sample(feat, cl)  # [B, Q, C_i]
-            q_coord = nearest_latent_coords(cl, fh, fw)  # [B, Q, 2]
+            if cfg.quarter_nearest == "both":
+                # 4-nearest input sampling (liif_feat_multiscale_train_quater,
+                # liif.py:142-179): concat the four neighboring latent
+                # pixels; rel measured from the center of the 2x2 cell
+                # (mean of the (-1,-1) and (+1,+1) latent coords)
+                ry, rx = 1.0 / fh, 1.0 / fw
+                eps = 1e-6
+                q_feats, q_corners = [], []
+                for vy in (-1.0, 1.0):
+                    for vx in (-1.0, 1.0):
+                        shifted = sample_coords + jnp.asarray(
+                            [vy * ry + eps, vx * rx + eps], sample_coords.dtype
+                        )
+                        cl = jnp.clip(shifted, -1 + 1e-6, 1 - 1e-6)
+                        q_feats.append(nearest_sample(feat, cl))
+                        q_corners.append(nearest_latent_coords(cl, fh, fw))
+                q_feat = jnp.concatenate(q_feats, axis=-1)  # [B, Q, 4*C_i]
+                q_coord = 0.5 * (q_corners[0] + q_corners[3])
+            else:
+                cl = jnp.clip(sample_coords, -1 + 1e-6, 1 - 1e-6)
+                q_feat = nearest_sample(feat, cl)  # [B, Q, C_i]
+                q_coord = nearest_latent_coords(cl, fh, fw)  # [B, Q, 2]
             rel = (rel_coords - q_coord) * jnp.asarray(
                 [fh, fw], rel_coords.dtype
             )  # liif.py:127-129
@@ -317,6 +336,8 @@ def decoder_input_dim(cfg: LiifConfig, channel_list: Sequence[int]) -> int:
         dim = extra * n
     else:
         dim += extra * n
+    if cfg.quarter_nearest == "both":
+        dim *= 4  # 4-nearest latent concat (liif.py:638-640)
     pos = 2 if cfg.pos_enc is PosEncType.NONE or cfg.pos_dim == 0 else cfg.pos_dim + 2
     dim += pos * n
     if cfg.decode_cell:

@@ -210,7 +210,7 @@ class AnyStereo(nn.Module):
         weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1)
         w = disp.shape[-1]
         disp_scaled = self._scale_disp(disp, scale)  # [B,H,W] fp32
-        if cfg.liif.quarter_nearest:
+        if cfg.liif.quarter_nearest != "none":
             up = context_upsample_queries_quarter(disp_scaled, weights, coords)
         else:
             up = context_upsample_queries(disp_scaled, weights, coords)
@@ -265,7 +265,9 @@ class AnyStereo(nn.Module):
         else:
             scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (b,))
         if coords is None and dense_grid is None:
-            if mode == "train":
+            if mode == "train" or cfg.liif.quarter_nearest != "none":
+                # quarter-nearest decodes 4 shifted taps per query — the
+                # separable dense path only covers the 3x3-unfold combine
                 coords = dense_query_coords(b, h, w)
             else:
                 from anystereo_tpu.ops.coords import _axis_centers
@@ -273,6 +275,8 @@ class AnyStereo(nn.Module):
                 dense_grid = (_axis_centers(h), _axis_centers(w))
         if dense_grid is not None and mode == "train":
             raise ValueError("dense_grid is an eval-only decode path")
+        if dense_grid is not None and cfg.liif.quarter_nearest != "none":
+            raise ValueError("dense_grid decode does not support quarter_nearest")
 
         match_l, match_r, feats_l, stems = self._matching(left, right)
         pyr, init_disp = self._cost_stage(match_l, match_r, feats_l)

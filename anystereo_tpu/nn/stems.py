@@ -48,7 +48,9 @@ class HighResAggregation(nn.Module):
             y = LayerNorm2d(self.features)(y)
         else:
             y = make_norm(NormType.INSTANCE, self.features, self.dtype)(y)
-        return nn.gelu(y) if self.head_act == "gelu" else nn.relu(y)
+        if self.head_act == "gelu":
+            return nn.gelu(y, approximate=False)  # torch nn.GELU() is exact erf
+        return nn.relu(y)
 
 
 class UnshuffleStem(nn.Module):

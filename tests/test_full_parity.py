@@ -1,0 +1,289 @@
+"""Assembled-model numerical parity against the torch reference.
+
+Builds the REFERENCE `continuous_IGEVStereo` in-process from
+/root/reference sources (utils/ref_torch.py bypasses the snapshot's broken
+imports), converts its full state_dict through
+utils/torch_convert.convert_igev_state_dict, runs both models on identical
+inputs, and requires agreement of:
+
+  * the regressed initial disparity (continuous_IGEVstereo.py:266-268),
+  * every per-iteration upsampled prediction (train mode, :284-301),
+  * the test-mode final output (:303-304).
+
+This converts the per-module parity suite (test_torch_parity.py) into a
+proof that the composed pipeline — feature pyramid, stems, GWC volume, 3-D
+aggregation, lookup pyramids, ConvGRU stack and LIIF decode — matches the
+reference end to end, and validates the checkpoint-import path.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from anystereo_tpu.config import ModelConfig, NormType, raft_config
+from anystereo_tpu.nn.model import AnyStereo
+from anystereo_tpu.utils.ref_torch import (
+    build_reference_igev,
+    build_reference_raft,
+    default_igev_args,
+)
+from anystereo_tpu.utils.torch_convert import (
+    convert_igev_state_dict,
+    convert_raft_state_dict,
+)
+
+
+def _jx(t):
+    return jnp.asarray(t.detach().numpy())
+
+
+def _parity_cfg(**kw):
+    base = dict(
+        norm_2d=NormType.FROZEN_BATCH,
+        norm_3d=NormType.FROZEN_BATCH,
+        compute_dtype="float32",
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _variables(model_t, cfg):
+    sd = {k: v.numpy() for k, v in model_t.state_dict().items()
+          if v.dtype.is_floating_point}
+    var = convert_igev_state_dict(model_t.state_dict(), cfg)
+    del sd
+    return jax.tree_util.tree_map(jnp.asarray, var)
+
+
+def _check_tree_alignment(var, flax_model, left, right, coords, scale):
+    """Converted tree must cover the flax init tree exactly (same paths and
+    shapes) — catches silent param-name drift in either direction."""
+    ref_shapes = jax.eval_shape(
+        lambda: flax_model.init(
+            jax.random.PRNGKey(0), left, right, iters=1, coords=coords,
+            scale=scale, mode="train",
+        )
+    )
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_shapes)[0]
+    flat_got = jax.tree_util.tree_flatten_with_path(var)[0]
+    ref_map = {jax.tree_util.keystr(p): tuple(l.shape) for p, l in flat_ref}
+    got_map = {jax.tree_util.keystr(p): tuple(l.shape) for p, l in flat_got}
+    missing = set(ref_map) - set(got_map)
+    extra = set(got_map) - set(ref_map)
+    assert not missing, f"paths missing from conversion: {sorted(missing)[:10]}"
+    assert not extra, f"unexpected converted paths: {sorted(extra)[:10]}"
+    bad = {k: (got_map[k], ref_map[k]) for k in ref_map if got_map[k] != ref_map[k]}
+    assert not bad, f"shape mismatches: {dict(list(bad.items())[:10])}"
+
+
+@pytest.mark.slow
+class TestFullModelParity:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model_t, args = build_reference_igev(seed=7)
+        cfg = _parity_cfg(max_disp=64)
+        args.max_disp = 64
+        model_t, _ = build_reference_igev(args, seed=7)
+        var = _variables(model_t, cfg)
+        flax_model = AnyStereo(cfg)
+        return model_t, flax_model, var
+
+    def _inputs(self, b, h, w, oh, ow, seed=11):
+        rng = np.random.RandomState(seed)
+        left = rng.rand(b, h, w, 3).astype(np.float32) * 255.0
+        right = rng.rand(b, h, w, 3).astype(np.float32) * 255.0
+        from anystereo_tpu.ops.coords import make_coord
+
+        coords = np.asarray(make_coord((oh, ow)))[None].repeat(b, 0)
+        return left, right, coords
+
+    def test_tree_alignment(self, setup):
+        model_t, flax_model, var = setup
+        left, right, coords = self._inputs(1, 64, 96, 128, 192)
+        _check_tree_alignment(
+            var, flax_model, jnp.asarray(left), jnp.asarray(right),
+            jnp.asarray(coords), jnp.asarray([2.0]),
+        )
+
+    def test_train_mode_iterates(self, setup):
+        """init_disp + all per-iteration predictions at scale 2, 4 iters."""
+        model_t, flax_model, var = setup
+        left, right, coords = self._inputs(1, 64, 96, 128, 192)
+        scale = np.asarray([2.0], np.float32)
+        iters = 4
+
+        with torch.no_grad():
+            init_t, preds_t = model_t(
+                torch.from_numpy(left).permute(0, 3, 1, 2),
+                torch.from_numpy(right).permute(0, 3, 1, 2),
+                iters=iters,
+                hr_coord=torch.from_numpy(coords.copy()),
+                scale=torch.from_numpy(scale),
+                test_mode=False,
+            )
+
+        out = jax.jit(
+            lambda v, l, r, c, s: flax_model.apply(
+                v, l, r, iters=iters, coords=c, scale=s, mode="train"
+            )
+        )(var, jnp.asarray(left), jnp.asarray(right), jnp.asarray(coords),
+          jnp.asarray(scale))
+
+        init_j = np.asarray(out.init_disp)
+        np.testing.assert_allclose(
+            init_j, init_t.numpy(), rtol=1e-4, atol=2e-4,
+            err_msg="initial regressed disparity diverges",
+        )
+        preds_j = np.asarray(out.disp_preds)  # [iters, B, Q]
+        assert len(preds_t) == iters
+        for i in range(iters):
+            np.testing.assert_allclose(
+                preds_j[i],
+                preds_t[i][:, 0].numpy(),
+                rtol=1e-3, atol=5e-3,
+                err_msg=f"iteration {i} upsampled disparity diverges",
+            )
+
+    def test_eval_mode_final(self, setup):
+        """test_mode output at scale 1 (dense full grid), 6 iters."""
+        model_t, flax_model, var = setup
+        b, h, w = 1, 64, 96
+        left, right, coords = self._inputs(b, h, w, h, w, seed=13)
+        scale = np.asarray([1.0], np.float32)
+
+        with torch.no_grad():
+            out_t = model_t(
+                torch.from_numpy(left).permute(0, 3, 1, 2),
+                torch.from_numpy(right).permute(0, 3, 1, 2),
+                iters=6,
+                hr_coord=torch.from_numpy(coords.copy()),
+                scale=torch.from_numpy(scale),
+                test_mode=True,
+            )
+
+        out = jax.jit(
+            lambda v, l, r, c, s: flax_model.apply(
+                v, l, r, iters=6, coords=c, scale=s, mode="eval"
+            )
+        )(var, jnp.asarray(left), jnp.asarray(right), jnp.asarray(coords),
+          jnp.asarray(scale))
+        # 6 feedback iterations accumulate fp reordering drift
+        # (~3e-4 relative at 90 px); tolerance reflects that, not model error
+        np.testing.assert_allclose(
+            np.asarray(out.disp_final),
+            out_t[:, 0].numpy(),
+            rtol=2e-3, atol=5e-2,
+        )
+
+    def test_raft_core_parity(self):
+        """RAFT-core twin (prune_raft_stereo.py:246-297): zero-init disp,
+        corr-only 4-level pyramid, same GRU/LIIF tail."""
+        model_t, args = build_reference_raft(seed=23)
+        cfg = raft_config(
+            norm_2d=NormType.FROZEN_BATCH, compute_dtype="float32"
+        )
+        var = jax.tree_util.tree_map(
+            jnp.asarray, convert_raft_state_dict(model_t.state_dict(), cfg)
+        )
+        flax_model = AnyStereo(cfg)
+        left, right, coords = self._inputs(1, 64, 96, 96, 144, seed=29)
+        scale = np.asarray([1.5], np.float32)
+        iters = 3
+
+        with torch.no_grad():
+            preds_t = model_t(
+                torch.from_numpy(left).permute(0, 3, 1, 2),
+                torch.from_numpy(right).permute(0, 3, 1, 2),
+                iters=iters,
+                hr_coord=torch.from_numpy(coords.copy()),
+                scale=torch.from_numpy(scale),
+                test_mode=False,
+            )
+
+        out = jax.jit(
+            lambda v, l, r, c, s: flax_model.apply(
+                v, l, r, iters=iters, coords=c, scale=s, mode="train"
+            )
+        )(var, jnp.asarray(left), jnp.asarray(right), jnp.asarray(coords),
+          jnp.asarray(scale))
+        assert out.init_disp is None
+        preds_j = np.asarray(out.disp_preds)
+        for i in range(iters):
+            np.testing.assert_allclose(
+                preds_j[i], preds_t[i][:, 0].numpy(), rtol=1e-3, atol=5e-3,
+                err_msg=f"RAFT iteration {i} diverges",
+            )
+
+    @pytest.mark.parametrize("mode", ["only_disp", "both"])
+    def test_quarter_nearest_parity(self, mode):
+        """quater_nearest variants (liif.py:636-640, 142-179;
+        context_upsample_multiscale_train_quaterp, submodule.py:375-398):
+        'only_disp' = 4-tap output combine; 'both' adds the 4-nearest
+        latent input sampler (MLP input width x4)."""
+        from anystereo_tpu.config import LiifConfig
+
+        args = default_igev_args(max_disp=64, quater_nearest=mode)
+        model_t, _ = build_reference_igev(args, seed=31)
+        cfg = _parity_cfg(max_disp=64, liif=LiifConfig(quarter_nearest=mode))
+        var = jax.tree_util.tree_map(
+            jnp.asarray, convert_igev_state_dict(model_t.state_dict(), cfg)
+        )
+        flax_model = AnyStereo(cfg)
+        left, right, coords = self._inputs(1, 32, 64, 48, 96, seed=37)
+        scale = np.asarray([1.5], np.float32)
+
+        with torch.no_grad():
+            _, preds_t = model_t(
+                torch.from_numpy(left).permute(0, 3, 1, 2),
+                torch.from_numpy(right).permute(0, 3, 1, 2),
+                iters=2,
+                hr_coord=torch.from_numpy(coords.copy()),
+                scale=torch.from_numpy(scale),
+                test_mode=False,
+            )
+        out = jax.jit(
+            lambda v, l, r, c, s: flax_model.apply(
+                v, l, r, iters=2, coords=c, scale=s, mode="train"
+            )
+        )(var, jnp.asarray(left), jnp.asarray(right), jnp.asarray(coords),
+          jnp.asarray(scale))
+        preds_j = np.asarray(out.disp_preds)
+        for i in range(2):
+            np.testing.assert_allclose(
+                preds_j[i], preds_t[i][:, 0].numpy(), rtol=1e-3, atol=5e-3,
+                err_msg=f"quarter_nearest={mode} iteration {i} diverges",
+            )
+
+    def test_eval_dense_grid_matches_queries(self, setup):
+        """The separable dense decode (TPU fast path) equals the reference
+        query decode on the same uniform grid."""
+        model_t, flax_model, var = setup
+        b, h, w = 1, 64, 96
+        left, right, coords = self._inputs(b, h, w, 2 * h, 2 * w, seed=17)
+        scale = np.asarray([2.0], np.float32)
+
+        with torch.no_grad():
+            out_t = model_t(
+                torch.from_numpy(left).permute(0, 3, 1, 2),
+                torch.from_numpy(right).permute(0, 3, 1, 2),
+                iters=3,
+                hr_coord=torch.from_numpy(coords.copy()),
+                scale=torch.from_numpy(scale),
+                test_mode=True,
+            )
+        from anystereo_tpu.ops.coords import _axis_centers
+
+        grid = (_axis_centers(2 * h), _axis_centers(2 * w))
+        out = jax.jit(
+            lambda v, l, r, s: flax_model.apply(
+                v, l, r, iters=3, dense_grid=grid, scale=s, mode="eval"
+            )
+        )(var, jnp.asarray(left), jnp.asarray(right), jnp.asarray(scale))
+        np.testing.assert_allclose(
+            np.asarray(out.disp_final).reshape(b, -1),
+            out_t[:, 0].numpy(),
+            rtol=2e-3, atol=5e-2,
+        )

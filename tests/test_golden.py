@@ -12,14 +12,16 @@ import jax.numpy as jnp
 from anystereo_tpu.config import ModelConfig, raft_config
 from anystereo_tpu.nn.model import AnyStereo
 
+# regenerated 2026-08-17 after switching GELU to the exact (erf) form the
+# torch reference uses (verified by tests/test_full_parity.py)
 GOLDEN = {
-    "igev": [6.717396, 15.502223, 11.757691, 17.835032, 16.667902, 15.769783,
-             11.870843, 17.265327, 15.813115, 16.965523, 17.270546, 17.155916,
-             16.68634, 15.995749, 16.140154, 10.579068],
-    "igev_init": [3.476388, 3.526374, 3.527356, 3.488979],
-    "raft": [-0.289357, -5.102499, 0.288723, -2.822647, -5.192936, -5.058916,
-             0.340232, -5.593797, -1.061265, -3.952051, -4.719308, -2.762082,
-             -4.14565, -3.448748, -1.857761, -2.342546],
+    "igev": [6.718129, 15.512094, 11.766248, 17.825256, 16.681341, 15.783713,
+             11.938251, 17.206884, 15.883462, 16.972982, 17.235853, 17.222736,
+             16.719198, 16.014507, 16.185093, 10.600921],
+    "igev_init": [3.48105, 3.552955, 3.536513, 3.53917],
+    "raft": [-0.289482, -5.103186, 0.286458, -2.82279, -5.192584, -5.060033,
+             0.33677, -5.593468, -1.062798, -3.952824, -4.718577, -2.762172,
+             -4.145384, -3.447958, -1.858149, -2.341542],
 }
 
 

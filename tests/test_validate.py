@@ -162,3 +162,77 @@ class TestOccProviders:
         occ = nocc_mask_occ_provider(ds, 0)
         assert occ.sum() == 16 - 4
         assert not occ[1, 1]
+
+    def test_nocc_provider_eth3d_layout(self, tmp_path):
+        """ETH3D: reader returns a bare PFM array; the provider must read
+        mask0nocc.png beside disp0GT.pfm (evaluation_validate.py:161-166)."""
+        from PIL import Image
+
+        from anystereo_tpu.data.datasets import ETH3D
+        from anystereo_tpu.data.frame_utils import write_pfm
+        from anystereo_tpu.eval.validate import nocc_mask_occ_provider
+
+        h, w = 6, 8
+        scene = tmp_path / "two_view_training_gt" / "scene_1"
+        scene.mkdir(parents=True)
+        imdir = tmp_path / "two_view_training" / "scene_1"
+        imdir.mkdir(parents=True)
+        for name in ("im0.png", "im1.png"):
+            Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(imdir / name)
+        write_pfm(str(scene / "disp0GT.pfm"), np.ones((h, w), np.float32))
+        nocc = np.full((h, w), 255, np.uint8)
+        nocc[0, :3] = 0  # 3 occluded pixels
+        Image.fromarray(nocc).save(scene / "mask0nocc.png")
+
+        ds = ETH3D(str(tmp_path))
+        assert len(ds.disparity_list) == 1
+        occ = nocc_mask_occ_provider(ds, 0)
+        assert occ is not None, "ETH3D occlusion mask must be available"
+        assert occ.sum() == 3 and occ[0, 0] and not occ[1, 1]
+
+    def test_eth3d_validation_emits_occ_metrics(self, tmp_path):
+        """End-to-end: validate_dataset over a synthetic ETH3D tree must
+        emit occ/noc metric columns (round-1 defect: they silently
+        vanished because the provider returned None)."""
+        from PIL import Image
+
+        import jax
+        import jax.numpy as jnp
+
+        from anystereo_tpu.config import ModelConfig
+        from anystereo_tpu.data.datasets import ETH3D
+        from anystereo_tpu.data.frame_utils import write_pfm
+        from anystereo_tpu.eval.validate import (
+            nocc_mask_occ_provider,
+            validate_dataset,
+        )
+        from anystereo_tpu.nn.model import AnyStereo
+
+        h, w = 40, 64
+        rng = np.random.RandomState(5)
+        scene = tmp_path / "two_view_training_gt" / "scene_1"
+        scene.mkdir(parents=True)
+        imdir = tmp_path / "two_view_training" / "scene_1"
+        imdir.mkdir(parents=True)
+        for name in ("im0.png", "im1.png"):
+            Image.fromarray(
+                (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            ).save(imdir / name)
+        write_pfm(str(scene / "disp0GT.pfm"), np.full((h, w), 2.0, np.float32))
+        nocc = np.full((h, w), 255, np.uint8)
+        nocc[:4] = 0
+        Image.fromarray(nocc).save(scene / "mask0nocc.png")
+
+        ds = ETH3D(str(tmp_path))
+        model = AnyStereo(ModelConfig(max_disp=32))
+        left = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(
+            lambda k: model.init(k, left, left, iters=1, mode="eval")
+        )(jax.random.PRNGKey(0))
+        results = validate_dataset(
+            model, variables["params"], ds, valid_iters=2,
+            occ_provider=nocc_mask_occ_provider,
+        )
+        keys = set(results)
+        assert any("occ" in k for k in keys), keys
+        assert any("noc" in k for k in keys), keys
