@@ -138,10 +138,13 @@ def pyramid_lookup(
     coords = jnp.broadcast_to(coords, (b, h, w)).astype(jnp.float32)
 
     if impl == "pallas":
-        # fused kernel: one call per volume computes every pyramid level
-        # from the level-0 rows (the pooled arrays in `pyr` are never read
-        # and get DCE'd under jit)
-        from anystereo_tpu.ops.pallas.lookup_kernel import gather_pyramid_window
+        # fused transposed kernel: one call per volume computes every
+        # pyramid level from the level-0 rows (the pooled arrays in `pyr`
+        # are never read and get DCE'd under jit).  The kernel takes the
+        # volume disparity-major ([L, R], pixels on the TPU lane axis) —
+        # the transpose is loop-invariant w.r.t. the GRU iteration so
+        # XLA's while-loop LICM hoists it out of the scan.
+        from anystereo_tpu.ops.pallas.lookup_kernel import gather_pyramid_window_t
 
         scales = jnp.asarray([2.0**-i for i in range(n_lvl)], jnp.float32)
         geo_taps = None
@@ -152,14 +155,16 @@ def pyramid_lookup(
             bases_g = jnp.broadcast_to(
                 bases[..., None, :], (b, h, w, g, n_lvl)
             ).reshape(-1, n_lvl)
-            geo_taps = gather_pyramid_window(
-                geo0.reshape(-1, geo0.shape[-1]), bases_g, k, False
-            ).reshape(b, h, w, g, n_lvl, k)
+            geo_t = gather_pyramid_window_t(
+                geo0.reshape(-1, geo0.shape[-1]).T, bases_g.T, k, False
+            )  # [levels*K, B*H*W*G]
+            geo_taps = geo_t.T.reshape(b, h, w, g, n_lvl, k)
         corr0 = pyr.corr_levels[0]
         cbases = ((coords - disp)[..., None] * scales - r).reshape(-1, n_lvl)
-        corr_taps = gather_pyramid_window(
-            corr0.reshape(-1, corr0.shape[-1]), cbases, k, False
-        ).reshape(b, h, w, n_lvl, k)
+        corr_t = gather_pyramid_window_t(
+            corr0.reshape(-1, corr0.shape[-1]).T, cbases.T, k, False
+        )
+        corr_taps = corr_t.T.reshape(b, h, w, n_lvl, k)
         out = []
         for i in range(n_lvl):  # reference channel order per level
             if geo_taps is not None:

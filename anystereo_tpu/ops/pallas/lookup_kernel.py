@@ -378,6 +378,171 @@ def _gpw_bwd(taps, interpret, res, g):
 gather_pyramid_window.defvjp(_gpw_fwd, _gpw_bwd)
 
 
+# ----------------------------------------------------------------- #
+# transposed multi-level lookup: PIXELS on the lane axis, disparity on
+# the sublane axis.  The masked-lane-reduction kernels above spend
+# ~25 vector-ops per row (each tap is a full cross-lane reduction and
+# the 48-entry GEV row wastes 2.7x of the 128-lane width); here every
+# op is elementwise on full 8x128 vregs: iterate d in sublane blocks
+# of 8, classify each d into its tap slot t = (d >> lvl) - floor(base)
+# per lane, and select-accumulate into taps+1 registers.  No
+# reductions until one log2(8) sublane fold per tap at the end.
+# ~2.4 vector-ops per pixel for the GEV volume (~9x less VPU work),
+# and padding waste is gone.  Same math as gather_pyramid_window.
+# ----------------------------------------------------------------- #
+
+_PIX_TILE = 256  # lanes-axis pixels per grid step
+
+
+def _pyr_t_fwd_kernel(vol_ref, bases_ref, out_ref, *, length: int, taps: int,
+                      levels: int):
+    nblk = (length + 7) // 8
+    for lvl in range(levels):
+        l_i = length >> lvl  # truncating pool semantics
+        valid_len = l_i << lvl
+        inv = jnp.float32(1.0 / (1 << lvl))
+        base = bases_ref[lvl:lvl + 1, :]  # [1, P]
+        i0 = jnp.floor(base)
+        frac = i0 - i0 + (base - i0)  # [1, P]
+        i0i = i0.astype(jnp.int32)
+
+        def body(i, s):
+            d0 = i * 8
+            v8 = vol_ref[pl.ds(d0, 8), :]  # [8, P]
+            dvec = jax.lax.broadcasted_iota(jnp.int32, v8.shape, 0) + d0
+            # tap slot per element; -1 marks rows past the level's pool range
+            t = jnp.where(dvec < valid_len, (dvec >> lvl) - i0i, -1)
+            return tuple(
+                s[m] + jnp.where(t == m, v8, 0.0) for m in range(taps + 1)
+            )
+
+        s0 = tuple(
+            jnp.zeros((8, vol_ref.shape[1]), jnp.float32)
+            for _ in range(taps + 1)
+        )
+        s = jax.lax.fori_loop(0, nblk, body, s0)
+        pooled = [jnp.sum(sm, axis=0, keepdims=True) * inv for sm in s]
+        for k in range(taps):
+            out_ref[lvl * taps + k:lvl * taps + k + 1, :] = (
+                (1.0 - frac) * pooled[k] + frac * pooled[k + 1]
+            )
+
+
+def _pyr_t_bwd_kernel(bases_ref, g_ref, dvol_ref, *, length: int, taps: int,
+                      levels: int):
+    nblk = (length + 7) // 8
+    # per-level tap-slot gradient coefficients c_m = (1-f)·g_m + f·g_{m-1}
+    coeffs = []  # [levels][taps+1] of [1, P]
+    i0s = []
+    for lvl in range(levels):
+        inv = jnp.float32(1.0 / (1 << lvl))
+        base = bases_ref[lvl:lvl + 1, :]
+        i0 = jnp.floor(base)
+        frac = base - i0
+        i0s.append(i0.astype(jnp.int32))
+        cs = []
+        for m in range(taps + 1):
+            c = jnp.zeros_like(frac)
+            if m < taps:
+                c = c + (1.0 - frac) * g_ref[lvl * taps + m:lvl * taps + m + 1, :]
+            if m >= 1:
+                c = c + frac * g_ref[lvl * taps + m - 1:lvl * taps + m, :]
+            cs.append(c * inv)
+        coeffs.append(cs)
+
+    def body(i, _):
+        d0 = i * 8
+        shape = (8, dvol_ref.shape[1])
+        dvec = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + d0
+        acc = jnp.zeros(shape, jnp.float32)
+        for lvl in range(levels):
+            valid_len = (length >> lvl) << lvl
+            t = jnp.where(dvec < valid_len, (dvec >> lvl) - i0s[lvl], -1)
+            for m in range(taps + 1):
+                acc = acc + jnp.where(t == m, coeffs[lvl][m], 0.0)
+        dvol_ref[pl.ds(d0, 8), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, nblk, body, 0)
+
+
+def _pyr_t_pallas_fwd(vol_t, bases_t, taps: int, interpret: bool):
+    length, r = vol_t.shape
+    levels = bases_t.shape[0]
+    dpad = _round_up(max(length, 8), 8)
+    rpad = _round_up(max(r, 128), _PIX_TILE)
+    vol_p = jnp.pad(
+        vol_t.astype(jnp.float32), ((0, dpad - length), (0, rpad - r))
+    )
+    bases_p = jnp.pad(bases_t.astype(jnp.float32), ((0, 0), (0, rpad - r)))
+    out = pl.pallas_call(
+        functools.partial(
+            _pyr_t_fwd_kernel, length=length, taps=taps, levels=levels
+        ),
+        grid=(rpad // _PIX_TILE,),
+        in_specs=[
+            pl.BlockSpec((dpad, _PIX_TILE), lambda i: (0, i)),
+            pl.BlockSpec((levels, _PIX_TILE), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((levels * taps, _PIX_TILE), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((levels * taps, rpad), jnp.float32),
+        interpret=interpret,
+    )(vol_p, bases_p)
+    return out[:, :r]
+
+
+def _pyr_t_pallas_bwd(bases_t, g, length: int, interpret: bool):
+    levels, r = bases_t.shape
+    taps = g.shape[0] // levels
+    dpad = _round_up(max(length, 8), 8)
+    rpad = _round_up(max(r, 128), _PIX_TILE)
+    bases_p = jnp.pad(bases_t.astype(jnp.float32), ((0, 0), (0, rpad - r)))
+    g_p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, rpad - r)))
+    dvol = pl.pallas_call(
+        functools.partial(
+            _pyr_t_bwd_kernel, length=length, taps=taps, levels=levels
+        ),
+        grid=(rpad // _PIX_TILE,),
+        in_specs=[
+            pl.BlockSpec((levels, _PIX_TILE), lambda i: (0, i)),
+            pl.BlockSpec((levels * taps, _PIX_TILE), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((dpad, _PIX_TILE), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((dpad, rpad), jnp.float32),
+        interpret=interpret,
+    )(bases_p, g_p)
+    return dvol[:length, :r]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_pyramid_window_t(
+    vol_t: jnp.ndarray, bases_t: jnp.ndarray, taps: int, interpret: bool = False
+):
+    """Transposed-layout twin of gather_pyramid_window.
+
+    vol_t: [L, R] (disparity-major), bases_t: [levels, R] →
+    out [levels*taps, R] fp32 with level-major tap blocks.  Level i reads
+    the avg-pool-by-2^i of each column (floor-truncation semantics,
+    geometry.py:24-28), computed in-kernel; positions are
+    non-differentiable (detached-disparity lookup)."""
+    return _pyr_t_pallas_fwd(vol_t, bases_t, taps, interpret)
+
+
+def _gpwt_fwd(vol_t, bases_t, taps, interpret):
+    return _pyr_t_pallas_fwd(vol_t, bases_t, taps, interpret), (
+        bases_t,
+        vol_t.shape[0],
+    )
+
+
+def _gpwt_bwd(taps, interpret, res, g):
+    bases_t, length = res
+    return _pyr_t_pallas_bwd(bases_t, g, length, interpret), None
+
+
+gather_pyramid_window_t.defvjp(_gpwt_fwd, _gpwt_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_rows_linear(vol: jnp.ndarray, pos: jnp.ndarray, interpret: bool = False):
     """Linear-interpolated row gather: out[r, k] = lerp(vol[r], pos[r, k]),

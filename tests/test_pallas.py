@@ -117,14 +117,14 @@ class TestWindowKernel:
         # force the fused pallas path in interpret mode
         import anystereo_tpu.ops.pallas.lookup_kernel as kmod
 
-        orig = kmod.gather_pyramid_window
-        kmod.gather_pyramid_window = (
+        orig = kmod.gather_pyramid_window_t
+        kmod.gather_pyramid_window_t = (
             lambda vol, bases, taps, interp=False: orig(vol, bases, taps, True)
         )
         try:
             got = pyramid_lookup(pyr, disp, impl="pallas")
         finally:
-            kmod.gather_pyramid_window = orig
+            kmod.gather_pyramid_window_t = orig
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                    atol=1e-4)
 
@@ -175,3 +175,44 @@ class TestPyramidFusedKernel:
         )(vol)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                    atol=1e-5)
+
+
+class TestTransposedPyramidKernel:
+    """gather_pyramid_window_t: the pixels-on-lanes formulation must agree
+    exactly with gather_pyramid_window (which is itself oracle-tested)."""
+
+    @pytest.mark.parametrize("r_,l", [(300, 48), (64, 45), (40, 312)])
+    def test_fwd_matches_row_kernel(self, rng, r_, l):
+        from anystereo_tpu.ops.pallas.lookup_kernel import (
+            gather_pyramid_window,
+            gather_pyramid_window_t,
+        )
+
+        levels, k = 2, 9
+        vol = jnp.asarray(rng.randn(r_, l).astype(np.float32))
+        bases = jnp.asarray(
+            (rng.rand(r_, levels) * (l + 10) - 8).astype(np.float32)
+        )
+        want = gather_pyramid_window(vol, bases, k, True)
+        got = gather_pyramid_window_t(vol.T, bases.T, k, True).T
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_vjp_matches_row_kernel(self, rng):
+        from anystereo_tpu.ops.pallas.lookup_kernel import (
+            gather_pyramid_window,
+            gather_pyramid_window_t,
+        )
+
+        r_, l, levels, k = 50, 48, 2, 9
+        vol = jnp.asarray(rng.randn(r_, l).astype(np.float32))
+        bases = jnp.asarray((rng.rand(r_, levels) * 30 - 4).astype(np.float32))
+        g = jnp.asarray(rng.randn(r_, levels * k).astype(np.float32))
+        want = jax.grad(
+            lambda v: (gather_pyramid_window(v, bases, k, True) * g).sum()
+        )(vol)
+        got = jax.grad(
+            lambda v: (gather_pyramid_window_t(v, bases.T, k, True) * g.T).sum()
+        )(vol.T).T
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
