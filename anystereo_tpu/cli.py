@@ -63,7 +63,24 @@ def cmd_train(argv):
     p.add_argument("--supervise-init", action="store_true")
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--num-workers", type=int, default=8)
+    # in-training held-out validation every --ckpt-every steps (the
+    # reference validates every valid_fre, train_continuous_IGEV.py:242-264)
+    p.add_argument("--val-dataset", default=None,
+                   help="held-out split for in-training validation "
+                        "(e.g. sceneflow, kitti15, middlebury_H)")
+    p.add_argument("--val-root", default=None,
+                   help="dataset root for --val-dataset (defaults to --data-root)")
+    p.add_argument("--valid-iters", type=int, default=32)
+    p.add_argument("--val-max-images", type=int, default=None)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed from cluster env vars "
+                        "(COORDINATOR_ADDRESS etc.) before building the mesh")
     args = p.parse_args(argv)
+
+    if args.multihost:
+        from anystereo_tpu.parallel.mesh import maybe_initialize_distributed
+
+        maybe_initialize_distributed(require=True)
 
     from anystereo_tpu.config import Config, TrainConfig
     from anystereo_tpu.data.augment import AugmentorConfig
@@ -100,7 +117,19 @@ def cmd_train(argv):
         dataset, cfg.train.batch_size, num_workers=args.num_workers,
         seed=cfg.train.seed,
     )
-    train(cfg, loader)
+    validate_fn = None
+    if args.val_dataset is not None:
+        from anystereo_tpu.eval.validate import make_train_validate_fn
+        from anystereo_tpu.nn.model import AnyStereo
+
+        validate_fn = make_train_validate_fn(
+            AnyStereo(cfg.model),
+            args.val_dataset,
+            args.val_root or args.data_root,
+            valid_iters=args.valid_iters,
+            max_images=args.val_max_images,
+        )
+    train(cfg, loader, validate_fn=validate_fn)
 
 
 def cmd_evaluate(argv):
@@ -141,6 +170,9 @@ def main():
         level=logging.INFO,
         format="%(asctime)s %(levelname)-7s [%(filename)s:%(lineno)d] %(message)s",
     )
+    from anystereo_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cmds = {"train": cmd_train, "evaluate": cmd_evaluate, "bench": cmd_bench}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(f"usage: python -m anystereo_tpu.cli {{{'|'.join(cmds)}}} ...")

@@ -12,7 +12,7 @@ from __future__ import annotations
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, Iterator, List
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 
@@ -57,6 +57,8 @@ class PrefetchLoader:
         seed: int = 0,
         prefetch: int = 4,
         shuffle: bool = True,
+        host_index: Optional[int] = None,
+        host_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -64,14 +66,31 @@ class PrefetchLoader:
         self.seed = seed
         self.prefetch = prefetch
         self.shuffle = shuffle
+        # multi-host data sharding: every host shuffles with the same seed
+        # (so the global permutation agrees) then takes its strided slice —
+        # batch_size is the PER-HOST batch.  Defaults to the jax process
+        # topology; single-host behavior is unchanged.
+        if host_index is None or host_count is None:
+            try:
+                import jax
+
+                host_index = jax.process_index() if host_index is None else host_index
+                host_count = jax.process_count() if host_count is None else host_count
+            except Exception:
+                host_index, host_count = 0, 1
+        if not 0 <= host_index < host_count:
+            raise ValueError(f"host_index {host_index} not in [0, {host_count})")
+        self.host_index = host_index
+        self.host_count = host_count
 
     def __len__(self) -> int:
-        return len(self.dataset) // self.batch_size
+        return len(self.dataset) // self.host_count // self.batch_size
 
     def _epoch_indices(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(idx)
+        idx = idx[self.host_index :: self.host_count]
         n = (len(idx) // self.batch_size) * self.batch_size
         return idx[:n]
 

@@ -275,23 +275,17 @@ def validate_dataset(
     return results
 
 
-def run_validation(
-    model_cfg: ModelConfig,
-    ckpt_dir: str,
-    dataset: str,
-    data_root: str,
-    valid_iters: int = 32,
-    scale_test: float = 1.0,
-    max_images: Optional[int] = None,
-) -> Dict[str, float]:
-    """CLI wrapper: build dataset + model, restore weights, validate."""
+def build_eval_dataset(dataset: str, data_root: str):
+    """Resolve a validation-dataset name to (dataset, fixed_upscale,
+    occ_provider) — shared by the standalone evaluator and the in-training
+    validation hook (the reference's validate_* dispatch,
+    train_continuous_IGEV.py:242-264)."""
     from anystereo_tpu.data.datasets import (
         ETH3D,
         KittiMixed,
         Middlebury,
         SceneFlowDataset,
     )
-    from anystereo_tpu.train.state import restore_params_only
 
     fixed_upscale = None
     if dataset == "sceneflow":
@@ -316,6 +310,53 @@ def run_validation(
     else:
         raise ValueError(dataset)
 
+    occ_provider = None
+    if dataset.startswith("kitti"):
+        occ_provider = kitti_occ_provider
+    elif dataset.startswith("middlebury") or dataset == "eth3d":
+        occ_provider = nocc_mask_occ_provider
+    elif dataset == "sceneflow":
+        occ_provider = sceneflow_occ_provider
+    return ds, fixed_upscale, occ_provider
+
+
+def make_train_validate_fn(
+    model: AnyStereo,
+    dataset: str,
+    data_root: str,
+    valid_iters: int = 32,
+    max_images: Optional[int] = None,
+):
+    """Build a `validate_fn(state, step)` for the training loop — the
+    reference's in-training validation every valid_fre steps
+    (train_continuous_IGEV.py:242-264).  The returned callable runs the
+    held-out split with the CURRENT params and returns the metric dict."""
+    ds, fixed_upscale, occ_provider = build_eval_dataset(dataset, data_root)
+    divis = 32 if model.cfg.core is CoreType.IGEV else 16
+
+    def validate_fn(state, step: int) -> Dict[str, float]:
+        return validate_dataset(
+            model, jax.device_get(state.params), ds, valid_iters,
+            divis=divis, max_images=max_images, fixed_upscale=fixed_upscale,
+            occ_provider=occ_provider,
+        )
+
+    return validate_fn
+
+
+def run_validation(
+    model_cfg: ModelConfig,
+    ckpt_dir: str,
+    dataset: str,
+    data_root: str,
+    valid_iters: int = 32,
+    scale_test: float = 1.0,
+    max_images: Optional[int] = None,
+) -> Dict[str, float]:
+    """CLI wrapper: build dataset + model, restore weights, validate."""
+    from anystereo_tpu.train.state import restore_params_only
+
+    ds, fixed_upscale, occ_provider = build_eval_dataset(dataset, data_root)
     model = AnyStereo(model_cfg)
     sample1, sample2, _, _ = ds._load_raw(0)
     lp, rp, ys, xs, s = pad_for_dense_grid(
@@ -330,13 +371,6 @@ def run_validation(
     )(jax.random.PRNGKey(0))
     params = restore_params_only(ckpt_dir, variables["params"])
     divis = 32 if model_cfg.core is CoreType.IGEV else 16
-    occ_provider = None
-    if dataset.startswith("kitti"):
-        occ_provider = kitti_occ_provider
-    elif dataset.startswith("middlebury") or dataset == "eth3d":
-        occ_provider = nocc_mask_occ_provider
-    elif dataset == "sceneflow":
-        occ_provider = sceneflow_occ_provider
     return validate_dataset(
         model, params, ds, valid_iters, scale_test, divis,
         max_images=max_images, fixed_upscale=fixed_upscale,

@@ -101,10 +101,24 @@ def _gather_window(vol: jnp.ndarray, base: jnp.ndarray, taps: int, impl: str):
     return out.reshape(*lead, taps)
 
 
-def _default_impl() -> str:
+_IMPL_OVERRIDE: Optional[Tuple[str, bool]] = None  # (impl, interpret)
+
+
+def set_impl_override(impl: Optional[str], interpret: bool = False):
+    """Force the lookup implementation globally — (impl, interpret) or None
+    to restore backend-based dispatch.  Lets tests and dryrun_multichip run
+    the Pallas kernels in interpret mode on the virtual CPU mesh, so the
+    path that executes on real multi-chip TPU hardware is the one tested."""
+    global _IMPL_OVERRIDE
+    _IMPL_OVERRIDE = None if impl is None else (impl, interpret)
+
+
+def _default_impl() -> Tuple[str, bool]:
     import jax
 
-    return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    if _IMPL_OVERRIDE is not None:
+        return _IMPL_OVERRIDE
+    return ("pallas" if jax.default_backend() == "tpu" else "jnp"), False
 
 
 def pyramid_lookup(
@@ -131,7 +145,9 @@ def pyramid_lookup(
     r = pyr.radius
     k = 2 * r + 1
     n_lvl = pyr.num_levels
-    impl = impl or _default_impl()
+    interpret = False
+    if impl is None:
+        impl, interpret = _default_impl()
     disp = disp.astype(jnp.float32)
     if coords is None:
         coords = jnp.arange(w, dtype=jnp.float32)
@@ -156,13 +172,13 @@ def pyramid_lookup(
                 bases[..., None, :], (b, h, w, g, n_lvl)
             ).reshape(-1, n_lvl)
             geo_t = gather_pyramid_window_t(
-                geo0.reshape(-1, geo0.shape[-1]).T, bases_g.T, k, False
+                geo0.reshape(-1, geo0.shape[-1]).T, bases_g.T, k, interpret
             )  # [levels*K, B*H*W*G]
             geo_taps = geo_t.T.reshape(b, h, w, g, n_lvl, k)
         corr0 = pyr.corr_levels[0]
         cbases = ((coords - disp)[..., None] * scales - r).reshape(-1, n_lvl)
         corr_t = gather_pyramid_window_t(
-            corr0.reshape(-1, corr0.shape[-1]).T, cbases.T, k, False
+            corr0.reshape(-1, corr0.shape[-1]).T, cbases.T, k, interpret
         )
         corr_taps = corr_t.T.reshape(b, h, w, n_lvl, k)
         out = []

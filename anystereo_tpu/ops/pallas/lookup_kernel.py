@@ -514,6 +514,81 @@ def _pyr_t_pallas_bwd(bases_t, g, length: int, interpret: bool):
     return dvol[:length, :r]
 
 
+# -- GSPMD partitioning: columns (pixels) are independent, so the kernel
+# partitions exactly over the R axis.  Without this rule XLA all-gathers
+# both operands and replicates the kernel on every device (measured: 10
+# all-gathers on an 8-way mesh), defeating spatial sharding.  The rows
+# axis (disparity / levels / taps) must stay replicated.
+
+
+def _r_dim_spec(*shardings):
+    """The PartitionSpec entry for the last (R) dim of the first operand
+    that has one; None if all are unsharded there."""
+    from jax.sharding import NamedSharding
+
+    for s in shardings:
+        if isinstance(s, NamedSharding) and len(s.spec) >= 2 and s.spec[1] is not None:
+            return s.spec[1]
+    return None
+
+
+def _cols_partition(n_static, local_fn):
+    """partition= callback for a 2-operand, 1-result op where every array
+    is [rows, R] and only R may be sharded."""
+
+    def partition(*args):
+        static, (mesh, arg_infos, result_infos) = args[:n_static], args[n_static:]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        r = _r_dim_spec(*(a.sharding for a in arg_infos))
+        arg_sh = tuple(NamedSharding(mesh, P(None, r)) for _ in arg_infos)
+        res = result_infos if not isinstance(result_infos, (list, tuple)) else result_infos[0]
+        out_sh = NamedSharding(mesh, P(None, r))
+
+        def lower_fn(*operands):
+            return local_fn(*operands, *static)
+
+        return mesh, lower_fn, out_sh, arg_sh
+
+    def infer(*args):
+        mesh, arg_infos, result_infos = args[n_static:]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        r = _r_dim_spec(*(a.sharding for a in arg_infos))
+        return NamedSharding(mesh, P(None, r))
+
+    return partition, infer
+
+
+_pyr_t_fwd_sharded = custom_partitioning = None
+if _HAS_PALLAS:
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    _pyr_t_fwd_sharded = custom_partitioning(
+        _pyr_t_pallas_fwd, static_argnums=(2, 3)
+    )
+    _p, _i = _cols_partition(2, _pyr_t_pallas_fwd)
+    _pyr_t_fwd_sharded.def_partition(
+        partition=_p,
+        infer_sharding_from_operands=_i,
+        sharding_rule="l r, v r -> t r",
+        need_replication_factors=("l", "v", "t"),
+    )
+
+    _pyr_t_bwd_sharded = custom_partitioning(
+        _pyr_t_pallas_bwd, static_argnums=(2, 3)
+    )
+    _p, _i = _cols_partition(2, _pyr_t_pallas_bwd)
+    _pyr_t_bwd_sharded.def_partition(
+        partition=_p,
+        infer_sharding_from_operands=_i,
+        sharding_rule="v r, g r -> l r",
+        need_replication_factors=("v", "g", "l"),
+    )
+else:  # pragma: no cover
+    _pyr_t_bwd_sharded = None
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def gather_pyramid_window_t(
     vol_t: jnp.ndarray, bases_t: jnp.ndarray, taps: int, interpret: bool = False
@@ -524,12 +599,13 @@ def gather_pyramid_window_t(
     out [levels*taps, R] fp32 with level-major tap blocks.  Level i reads
     the avg-pool-by-2^i of each column (floor-truncation semantics,
     geometry.py:24-28), computed in-kernel; positions are
-    non-differentiable (detached-disparity lookup)."""
-    return _pyr_t_pallas_fwd(vol_t, bases_t, taps, interpret)
+    non-differentiable (detached-disparity lookup).  Partitions over R
+    (each pixel-column is independent) under GSPMD."""
+    return _pyr_t_fwd_sharded(vol_t, bases_t, taps, interpret)
 
 
 def _gpwt_fwd(vol_t, bases_t, taps, interpret):
-    return _pyr_t_pallas_fwd(vol_t, bases_t, taps, interpret), (
+    return _pyr_t_fwd_sharded(vol_t, bases_t, taps, interpret), (
         bases_t,
         vol_t.shape[0],
     )
@@ -537,7 +613,7 @@ def _gpwt_fwd(vol_t, bases_t, taps, interpret):
 
 def _gpwt_bwd(taps, interpret, res, g):
     bases_t, length = res
-    return _pyr_t_pallas_bwd(bases_t, g, length, interpret), None
+    return _pyr_t_bwd_sharded(bases_t, g, length, interpret), None
 
 
 gather_pyramid_window_t.defvjp(_gpwt_fwd, _gpwt_bwd)

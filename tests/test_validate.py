@@ -236,3 +236,45 @@ class TestOccProviders:
         keys = set(results)
         assert any("occ" in k for k in keys), keys
         assert any("noc" in k for k in keys), keys
+
+
+class TestTrainValidateHook:
+    def test_make_train_validate_fn(self, tmp_path):
+        """The in-training validation hook (train_continuous_IGEV.py:242-264)
+        built from a dataset name runs with current params and returns
+        metrics."""
+        from types import SimpleNamespace
+
+        from PIL import Image
+
+        import jax
+        import jax.numpy as jnp
+
+        from anystereo_tpu.config import ModelConfig
+        from anystereo_tpu.data.frame_utils import write_pfm
+        from anystereo_tpu.eval.validate import make_train_validate_fn
+        from anystereo_tpu.nn.model import AnyStereo
+
+        h, w = 40, 64
+        rng = np.random.RandomState(6)
+        scene = tmp_path / "two_view_training_gt" / "scene_1"
+        scene.mkdir(parents=True)
+        imdir = tmp_path / "two_view_training" / "scene_1"
+        imdir.mkdir(parents=True)
+        for name in ("im0.png", "im1.png"):
+            Image.fromarray(
+                (rng.rand(h, w, 3) * 255).astype(np.uint8)
+            ).save(imdir / name)
+        write_pfm(str(scene / "disp0GT.pfm"), np.full((h, w), 2.0, np.float32))
+        nocc = np.full((h, w), 255, np.uint8)
+        Image.fromarray(nocc).save(scene / "mask0nocc.png")
+
+        model = AnyStereo(ModelConfig(max_disp=32))
+        left = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(
+            lambda k: model.init(k, left, left, iters=1, mode="eval")
+        )(jax.random.PRNGKey(0))
+        fn = make_train_validate_fn(model, "eth3d", str(tmp_path), valid_iters=2)
+        results = fn(SimpleNamespace(params=variables["params"]), step=10)
+        assert "epe_all" in results or any("epe" in k for k in results), results
+        assert all(np.isfinite(v) for v in results.values())
