@@ -187,6 +187,23 @@ def raft_config(**overrides) -> ModelConfig:
     return ModelConfig(**base)
 
 
+def reference_regime_config(**overrides) -> ModelConfig:
+    """The reference's exact training regime: frozen BatchNorm statistics
+    everywhere BatchNorm2d/3d sat (train_continuous_IGEV.py:203 freezes
+    every BN for the whole run; the hourglass BatchNorm3d is frozen with
+    the rest).  Use with weights imported from a torch checkpoint via
+    utils.torch_convert (which fills the batch_stats collection) — e.g. the
+    timm-pretrained mobilenetv2_100 trunk the reference's accuracy rests on
+    (extractor.py:330-331).  From-scratch training should prefer the
+    default GroupNorm regime (stats-free, mesh-friendly)."""
+    base = dict(
+        norm_2d=NormType.FROZEN_BATCH,
+        norm_3d=NormType.FROZEN_BATCH,
+    )
+    base.update(overrides)
+    return ModelConfig(**base)
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Optimization schedule (train_continuous_IGEV.py:125-134,291-301)."""

@@ -167,6 +167,14 @@ def nocc_mask_occ_provider(dataset, index) -> Optional[np.ndarray]:
     return None
 
 
+def _as_variables(params):
+    """Accept either a bare params tree or a full variables dict (with
+    batch_stats for the frozen-BN reference regime)."""
+    if isinstance(params, dict) and "params" in params:
+        return dict(params)
+    return {"params": params}
+
+
 class Validator:
     """Caches one jitted eval function per padded shape (per-image loop has
     a handful of shape buckets per dataset)."""
@@ -184,7 +192,7 @@ class Validator:
 
             def f(params, left, right, ys, xs, scale):
                 out = self.model.apply(
-                    {"params": params}, left, right, iters=iters,
+                    _as_variables(params), left, right, iters=iters,
                     dense_grid=(ys, xs), scale=scale, mode="eval",
                 )
                 return out.disp_final
@@ -354,7 +362,7 @@ def run_validation(
     max_images: Optional[int] = None,
 ) -> Dict[str, float]:
     """CLI wrapper: build dataset + model, restore weights, validate."""
-    from anystereo_tpu.train.state import restore_params_only
+    from anystereo_tpu.train.state import restore_eval_variables
 
     ds, fixed_upscale, occ_provider = build_eval_dataset(dataset, data_root)
     model = AnyStereo(model_cfg)
@@ -369,10 +377,10 @@ def run_validation(
             mode="eval",
         )
     )(jax.random.PRNGKey(0))
-    params = restore_params_only(ckpt_dir, variables["params"])
+    eval_vars = restore_eval_variables(ckpt_dir, variables)
     divis = 32 if model_cfg.core is CoreType.IGEV else 16
     return validate_dataset(
-        model, params, ds, valid_iters, scale_test, divis,
+        model, eval_vars, ds, valid_iters, scale_test, divis,
         max_images=max_images, fixed_upscale=fixed_upscale,
         occ_provider=occ_provider,
     )

@@ -88,6 +88,33 @@ def restore_checkpoint(
     )
 
 
+def restore_eval_variables(ckpt_dir: str, variables, step: Optional[int] = None):
+    """Restore params (filtered) plus, when the checkpoint carries it, the
+    batch_stats collection — needed for the frozen-BatchNorm reference
+    regime (converted torch checkpoints, tools/convert_checkpoint.py)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    out = {"params": restore_params_only(ckpt_dir, variables["params"], step)}
+    if "batch_stats" in variables:
+        try:
+            path = os.path.abspath(ckpt_dir)
+            mngr = ocp.CheckpointManager(path)
+            s = mngr.latest_step() if step is None else step
+            restored = mngr.restore(
+                s,
+                args=ocp.args.Composite(
+                    batch_stats=ocp.args.StandardRestore(variables["batch_stats"])
+                ),
+            )["batch_stats"]
+            mngr.close()
+            out["batch_stats"] = restored
+        except Exception:
+            out["batch_stats"] = variables["batch_stats"]
+    return out
+
+
 def restore_params_only(ckpt_dir: str, params, step: Optional[int] = None):
     """Weight-only restore with key filtering against the current model —
     the reference's restore semantics (train_continuous_IGEV.py:192-200),

@@ -233,3 +233,50 @@ class TestAffinity:
         np.testing.assert_allclose(
             np.transpose(got, (0, 3, 1, 2)), want, rtol=1e-4, atol=1e-4
         )
+
+
+class TestSepConvGRU:
+    def test_matches_reference_sepconvgru(self, rng):
+        """SepConvGRU (update.py:43-71): horizontal (1x5) then vertical
+        (5x1) GRU pass.  Present-but-unused in the reference's default
+        3-level path; kept for config parity and pinned here."""
+        from anystereo_tpu.nn.update import SepConvGRU
+
+        hidden, inp = 12, 20
+        convs = {}
+        for nm, kern, pad in (("1", (1, 5), (0, 2)), ("2", (5, 1), (2, 0))):
+            for g in ("convz", "convr", "convq"):
+                convs[f"{g}{nm}"] = tnn.Conv2d(hidden + inp, hidden, kern, padding=pad)
+
+        h0 = rng.randn(1, 8, 10, hidden).astype(np.float32)
+        x0 = rng.randn(1, 8, 10, inp).astype(np.float32)
+
+        def torch_fwd(h, x):
+            h, x = torch.from_numpy(to_nchw(h)), torch.from_numpy(to_nchw(x))
+            hx = torch.cat([h, x], dim=1)
+            z = torch.sigmoid(convs["convz1"](hx))
+            r = torch.sigmoid(convs["convr1"](hx))
+            q = torch.tanh(convs["convq1"](torch.cat([r * h, x], dim=1)))
+            h = (1 - z) * h + z * q
+            hx = torch.cat([h, x], dim=1)
+            z = torch.sigmoid(convs["convz2"](hx))
+            r = torch.sigmoid(convs["convr2"](hx))
+            q = torch.tanh(convs["convq2"](torch.cat([r * h, x], dim=1)))
+            return ((1 - z) * h + z * q).detach().numpy()
+
+        with torch.no_grad():
+            want = torch_fwd(h0, x0)
+
+        params = {}
+        for tnm, fnm in (("1", "h"), ("2", "v")):
+            for g in ("convz", "convr", "convq"):
+                c = convs[f"{g}{tnm}"]
+                params[f"{g}{fnm}"] = {
+                    "kernel": jnp.asarray(conv_kernel(c.weight.detach().numpy())),
+                    "bias": jnp.asarray(c.bias.detach().numpy()),
+                }
+        mod = SepConvGRU(hidden_dim=hidden)
+        got = to_nchw(
+            np.asarray(mod.apply({"params": params}, jnp.asarray(h0), jnp.asarray(x0)))
+        )
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
