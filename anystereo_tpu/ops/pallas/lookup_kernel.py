@@ -391,7 +391,18 @@ gather_pyramid_window.defvjp(_gpw_fwd, _gpw_bwd)
 # and padding waste is gone.  Same math as gather_pyramid_window.
 # ----------------------------------------------------------------- #
 
-_PIX_TILE = 256  # lanes-axis pixels per grid step
+_PIX_TILE = 256  # lanes-axis pixels per grid step (fixed-tile kernels)
+
+
+def _pix_tile(dpad: int, n_bufs: int = 1) -> int:
+    """Lanes-axis tile for the transposed kernels, sized so each grid step
+    streams ~2 MiB of volume per buffer: a shallow volume (GEV, D=48)
+    would otherwise shred 240k pixel columns into ~1000 tiny [48, 256]
+    blocks and go grid-overhead-bound (~2 us/step dominated the measured
+    2 ms/iter), while a deep one (all-pairs corr at Middlebury width)
+    must stay within VMEM."""
+    target = (2 * 1024 * 1024) // (4 * dpad * n_bufs)
+    return max(256, min(4096, (target // 128) * 128))
 
 
 def _pyr_t_fwd_kernel(vol_ref, bases_ref, out_ref, *, length: int, taps: int,
@@ -470,7 +481,8 @@ def _pyr_t_pallas_fwd(vol_t, bases_t, taps: int, interpret: bool):
     length, r = vol_t.shape
     levels = bases_t.shape[0]
     dpad = _round_up(max(length, 8), 8)
-    rpad = _round_up(max(r, 128), _PIX_TILE)
+    tile = _pix_tile(dpad)
+    rpad = _round_up(max(r, 128), tile)
     vol_p = jnp.pad(
         vol_t.astype(jnp.float32), ((0, dpad - length), (0, rpad - r))
     )
@@ -479,12 +491,12 @@ def _pyr_t_pallas_fwd(vol_t, bases_t, taps: int, interpret: bool):
         functools.partial(
             _pyr_t_fwd_kernel, length=length, taps=taps, levels=levels
         ),
-        grid=(rpad // _PIX_TILE,),
+        grid=(rpad // tile,),
         in_specs=[
-            pl.BlockSpec((dpad, _PIX_TILE), lambda i: (0, i)),
-            pl.BlockSpec((levels, _PIX_TILE), lambda i: (0, i)),
+            pl.BlockSpec((dpad, tile), lambda i: (0, i)),
+            pl.BlockSpec((levels, tile), lambda i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((levels * taps, _PIX_TILE), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((levels * taps, tile), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((levels * taps, rpad), jnp.float32),
         interpret=interpret,
     )(vol_p, bases_p)
@@ -495,19 +507,20 @@ def _pyr_t_pallas_bwd(bases_t, g, length: int, interpret: bool):
     levels, r = bases_t.shape
     taps = g.shape[0] // levels
     dpad = _round_up(max(length, 8), 8)
-    rpad = _round_up(max(r, 128), _PIX_TILE)
+    tile = _pix_tile(dpad)
+    rpad = _round_up(max(r, 128), tile)
     bases_p = jnp.pad(bases_t.astype(jnp.float32), ((0, 0), (0, rpad - r)))
     g_p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, rpad - r)))
     dvol = pl.pallas_call(
         functools.partial(
             _pyr_t_bwd_kernel, length=length, taps=taps, levels=levels
         ),
-        grid=(rpad // _PIX_TILE,),
+        grid=(rpad // tile,),
         in_specs=[
-            pl.BlockSpec((levels, _PIX_TILE), lambda i: (0, i)),
-            pl.BlockSpec((levels * taps, _PIX_TILE), lambda i: (0, i)),
+            pl.BlockSpec((levels, tile), lambda i: (0, i)),
+            pl.BlockSpec((levels * taps, tile), lambda i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((dpad, _PIX_TILE), lambda i: (0, i)),
+        out_specs=pl.BlockSpec((dpad, tile), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((dpad, rpad), jnp.float32),
         interpret=interpret,
     )(bases_p, g_p)
