@@ -105,6 +105,56 @@ _ACTS = {
 }
 
 
+class _Conv3x3x3Folded(nn.Module):
+    """Exact 3x3x3 stride-1 conv3d as three 2-D convs with the depth axis
+    folded into batch: out[d] = sum_kd conv2d(x[d+kd-1], w[kd]).
+
+    XLA's conv3d lowering runs the hourglass's thin-channel volumes ~3.5x
+    slower than this formulation on TPU v5e (measured 1.91 ms vs 0.55 ms
+    for the corr_stem's 8->8 conv at [48,96,312]); the 2-D convs hit the
+    well-tuned conv2d path with depth multiplying the batch dim.  Param
+    tree (kernel [3,3,3,Ci,Co] + bias) and initialization are identical
+    to nn.Conv, so checkpoints and torch conversion are unaffected."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, ci, self.features),
+            self.param_dtype,
+        )
+        dt = self.dtype or x.dtype
+        b, d, h, wd, _ = x.shape
+        x2 = x.reshape(b * d, h, wd, ci).astype(dt)
+        wdt = w.astype(dt)
+        outs = [
+            jax.lax.conv_general_dilated(
+                x2, wdt[kd], (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).reshape(b, d, h, wd, self.features)
+            for kd in range(3)
+        ]
+        z = jnp.zeros_like(outs[0][:, :1])
+        y = (
+            jnp.concatenate([z, outs[0][:, :-1]], axis=1)
+            + outs[1]
+            + jnp.concatenate([outs[2][:, 1:], z], axis=1)
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(dt)
+        return y
+
+
 class ConvNormAct(nn.Module):
     """conv (bias=False when normed) → norm → activation.
 
@@ -135,6 +185,12 @@ class ConvNormAct(nn.Module):
             y = TorchConvTranspose(
                 self.features, k, s, p, use_bias=bias, dtype=self.dtype,
                 param_dtype=self.param_dtype,
+            )(x)
+        elif self.dims == 3 and k == (3, 3, 3) and s == (1, 1, 1) and p == (1, 1, 1):
+            # same name/params as the nn.Conv it replaces (see docstring)
+            y = _Conv3x3x3Folded(
+                self.features, use_bias=bias, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="Conv_0",
             )(x)
         else:
             y = nn.Conv(
