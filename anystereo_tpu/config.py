@@ -73,6 +73,13 @@ class PosEncType(str, enum.Enum):
     NONE = "none"
     SPATIAL = "spatial"  # log-spaced Fourier features (liif.py:305-337)
     SINUSOID = "sinusoid"  # PositionEncoder 'sinusoid' + projection (liif.py:181-302)
+    LEARN = "learn"  # random-feature projection + LN/GELU MLP (liif.py:218-229)
+    DPB = "dpb"  # dynamic position bias MLP (liif.py:230-245)
+    # The reference's 'ipe' variant (sinc cell modulation, liif.py:266-273)
+    # is NOT implemented: it requires the rel_cell input that no reference
+    # config path ever wires to PositionEncoder (pos_enconding_new hardwires
+    # 'sinusoid', liif.py:592), and the cell plumbing it would need does not
+    # exist there either — dead spec, documented disposition.
 
 
 @dataclasses.dataclass(frozen=True)

@@ -149,6 +149,64 @@ class SinusoidPositionEncoder(nn.Module):
         return nn.Dense(self.head)(enc)
 
 
+class LearnedPositionEncoder(nn.Module):
+    """PositionEncoder 'learn' variant (liif.py:218-229, 282-295): random
+    Fourier features through a trainable projection Wr ~ N(0, gamma^-2),
+    [sin, cos]/sqrt(hidden) → (LN → Dense → GELU → LN → Dense) → GELU →
+    head projection.  Reachable in the reference only by editing the
+    hardwired posenc_type (liif.py:592); implemented for config parity."""
+
+    hidden_dims: int = 32
+    enc_dims: int = 24
+    head: int = 8
+    gamma: float = 1.0
+
+    @nn.compact
+    def __call__(self, rel):
+        p = nn.Dense(
+            self.hidden_dims // 2,
+            use_bias=False,
+            kernel_init=nn.initializers.normal(self.gamma**-2),
+            name="Wr",
+        )(rel)
+        enc = jnp.concatenate([jnp.sin(p), jnp.cos(p)], axis=-1) / np.sqrt(
+            self.hidden_dims
+        )
+        x = nn.LayerNorm(epsilon=1e-6, name="mlp_ln1")(enc)
+        x = nn.Dense(self.hidden_dims, name="mlp_fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.LayerNorm(epsilon=1e-6, name="mlp_ln2")(x)
+        x = nn.Dense(self.enc_dims, name="mlp_fc2")(x)
+        return nn.Dense(self.head, name="proj")(nn.gelu(x, approximate=False))
+
+
+class DpbPositionEncoder(nn.Module):
+    """PositionEncoder 'dpb' variant (liif.py:230-245, 297-300): dynamic
+    position bias MLP (2 → h → h → enc, LN+ReLU between) with an LN+ReLU+
+    Dense head.  NOTE the reference's proj LayerNorm is constructed with
+    hidden_dims but applied to the enc_dims-wide MLP output (liif.py:241),
+    so the torch module only runs when enc_dims == hidden_dims; this
+    implementation keeps that constraint explicit."""
+
+    hidden_dims: int = 32
+    enc_dims: int = 32
+    head: int = 8
+
+    @nn.compact
+    def __call__(self, rel):
+        assert self.enc_dims == self.hidden_dims, (
+            "reference dpb proj LayerNorm(hidden) is applied to the "
+            "enc-wide output (liif.py:241) — only enc_dims == hidden_dims runs"
+        )
+        x = nn.Dense(self.hidden_dims, name="mlp_fc1")(rel)
+        x = nn.relu(nn.LayerNorm(epsilon=1e-6, name="mlp_ln1")(x))
+        x = nn.Dense(self.hidden_dims, name="mlp_fc2")(x)
+        x = nn.relu(nn.LayerNorm(epsilon=1e-6, name="mlp_ln2")(x))
+        x = nn.Dense(self.enc_dims, name="mlp_fc3")(x)
+        x = nn.relu(nn.LayerNorm(epsilon=1e-6, name="proj_ln")(x))
+        return nn.Dense(self.head, name="proj")(x)
+
+
 class LiifDecoder(nn.Module):
     """Query-based decoder (liif_out_multi_scale_Training, liif.py:575-678).
 
@@ -186,6 +244,16 @@ class LiifDecoder(nn.Module):
         if cfg.pos_enc is PosEncType.SINUSOID:
             return SinusoidPositionEncoder(
                 enc_dim=max(cfg.pos_dim, 8), name=f"posenc_{i}"
+            )
+        if cfg.pos_enc is PosEncType.LEARN:
+            return LearnedPositionEncoder(
+                hidden_dims=max(cfg.pos_dim, 8), enc_dims=max(cfg.pos_dim, 8),
+                name=f"posenc_{i}",
+            )
+        if cfg.pos_enc is PosEncType.DPB:
+            d = max(cfg.pos_dim, 8)
+            return DpbPositionEncoder(
+                hidden_dims=d, enc_dims=d, name=f"posenc_{i}"
             )
         return None
 
@@ -338,7 +406,12 @@ def decoder_input_dim(cfg: LiifConfig, channel_list: Sequence[int]) -> int:
         dim += extra * n
     if cfg.quarter_nearest == "both":
         dim *= 4  # 4-nearest latent concat (liif.py:638-640)
-    pos = 2 if cfg.pos_enc is PosEncType.NONE or cfg.pos_dim == 0 else cfg.pos_dim + 2
+    if cfg.pos_enc is PosEncType.NONE or cfg.pos_dim == 0:
+        pos = 2  # raw rel_coord
+    elif cfg.pos_enc is PosEncType.SPATIAL:
+        pos = cfg.pos_dim + 2  # [x, sin, cos] concat (liif.py:305-337)
+    else:
+        pos = 8  # sinusoid/learn/dpb project to `head` channels (liif.py:215)
     dim += pos * n
     if cfg.decode_cell:
         dim += 2 * n

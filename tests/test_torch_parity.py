@@ -280,3 +280,85 @@ class TestSepConvGRU:
             np.asarray(mod.apply({"params": params}, jnp.asarray(h0), jnp.asarray(x0)))
         )
         np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+class TestPositionEncoders:
+    """Torch twins of the reference PositionEncoder 'learn' and 'dpb'
+    variants (liif.py:218-245, 282-300) — config-reachable only by editing
+    the hardwired posenc_type (liif.py:592), implemented for parity."""
+
+    def test_learn_matches_reference(self, rng):
+        from anystereo_tpu.nn.liif import LearnedPositionEncoder
+
+        hidden, enc, head = 32, 24, 8
+        wr = tnn.Linear(2, hidden // 2, bias=False)
+        mlp = tnn.Sequential(
+            tnn.LayerNorm(hidden, eps=1e-6),
+            tnn.Linear(hidden, hidden),
+            tnn.GELU(),
+            tnn.LayerNorm(hidden, eps=1e-6),
+            tnn.Linear(hidden, enc),
+        )
+        proj = tnn.Sequential(tnn.GELU(), tnn.Linear(enc, head))
+        pos = rng.randn(2, 40, 2).astype(np.float32)
+
+        with torch.no_grad():
+            p = wr(torch.from_numpy(pos))
+            e = torch.cat([torch.sin(p), torch.cos(p)], dim=-1) / np.sqrt(hidden)
+            want = proj(mlp(e)).numpy()
+
+        params = {
+            "Wr": {"kernel": jnp.asarray(dense_kernel(wr.weight.detach().numpy()))},
+            "mlp_ln1": {"scale": jnp.asarray(mlp[0].weight.detach().numpy()),
+                        "bias": jnp.asarray(mlp[0].bias.detach().numpy())},
+            "mlp_fc1": {"kernel": jnp.asarray(dense_kernel(mlp[1].weight.detach().numpy())),
+                        "bias": jnp.asarray(mlp[1].bias.detach().numpy())},
+            "mlp_ln2": {"scale": jnp.asarray(mlp[3].weight.detach().numpy()),
+                        "bias": jnp.asarray(mlp[3].bias.detach().numpy())},
+            "mlp_fc2": {"kernel": jnp.asarray(dense_kernel(mlp[4].weight.detach().numpy())),
+                        "bias": jnp.asarray(mlp[4].bias.detach().numpy())},
+            "proj": {"kernel": jnp.asarray(dense_kernel(proj[1].weight.detach().numpy())),
+                     "bias": jnp.asarray(proj[1].bias.detach().numpy())},
+        }
+        mod = LearnedPositionEncoder(hidden_dims=hidden, enc_dims=enc, head=head)
+        got = np.asarray(mod.apply({"params": params}, jnp.asarray(pos)))
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+    def test_dpb_matches_reference(self, rng):
+        from anystereo_tpu.nn.liif import DpbPositionEncoder
+
+        hidden = enc = 32
+        head = 8
+        mlp = tnn.Sequential(
+            tnn.Linear(2, hidden),
+            tnn.LayerNorm(hidden, eps=1e-6),
+            tnn.ReLU(),
+            tnn.Linear(hidden, hidden),
+            tnn.LayerNorm(hidden, eps=1e-6),
+            tnn.ReLU(),
+            tnn.Linear(hidden, enc),
+        )
+        proj = tnn.Sequential(
+            tnn.LayerNorm(hidden, eps=1e-6), tnn.ReLU(), tnn.Linear(enc, head)
+        )
+        pos = rng.randn(2, 40, 2).astype(np.float32)
+        with torch.no_grad():
+            want = proj(mlp(torch.from_numpy(pos))).numpy()
+
+        def ln(m):
+            return {"scale": jnp.asarray(m.weight.detach().numpy()),
+                    "bias": jnp.asarray(m.bias.detach().numpy())}
+
+        def fc(m):
+            return {"kernel": jnp.asarray(dense_kernel(m.weight.detach().numpy())),
+                    "bias": jnp.asarray(m.bias.detach().numpy())}
+
+        params = {
+            "mlp_fc1": fc(mlp[0]), "mlp_ln1": ln(mlp[1]),
+            "mlp_fc2": fc(mlp[3]), "mlp_ln2": ln(mlp[4]),
+            "mlp_fc3": fc(mlp[6]),
+            "proj_ln": ln(proj[0]), "proj": fc(proj[2]),
+        }
+        mod = DpbPositionEncoder(hidden_dims=hidden, enc_dims=enc, head=head)
+        got = np.asarray(mod.apply({"params": params}, jnp.asarray(pos)))
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)

@@ -87,6 +87,20 @@ class TestLiifVariants:
         )
         _run(cfg)
 
+    def test_learn_posenc(self):
+        cfg = ModelConfig(
+            max_disp=32,
+            liif=LiifConfig(pos_enc=PosEncType.LEARN, pos_dim=16),
+        )
+        _run(cfg)
+
+    def test_dpb_posenc(self):
+        cfg = ModelConfig(
+            max_disp=32,
+            liif=LiifConfig(pos_enc=PosEncType.DPB, pos_dim=16),
+        )
+        _run(cfg)
+
     def test_decode_cell(self):
         cfg = ModelConfig(max_disp=32, liif=LiifConfig(decode_cell=True))
         _run(cfg)
