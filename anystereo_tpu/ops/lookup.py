@@ -10,10 +10,16 @@ the lookup is a vectorized 1-D linear gather over the innermost (lane) axis;
 a Pallas kernel (ops/pallas/lookup_kernel.py) implements the fused fast path
 behind the same function signature.
 
-Channel ordering of the output matches the reference concat exactly
-(geometry.py:57-59): per level, GEV taps flattened group-major [G*K] then
-init-corr taps [K]; levels concatenated in order.  RAFT mode has no GEV:
-[K per level] * levels.
+Channel ordering: the framework uses an internal, layout-native order —
+GEV taps group-major across ALL levels first ([G, levels, K] flattened),
+then the init-corr taps ([levels, K] flattened).  This makes every
+reshape after the pixel-major Pallas kernel free (the reference's
+per-level interleave, geometry.py:57-59, cost a measured ~1.2 ms of XLA
+shuffles per GRU iteration at KITTI size).  The consumer is a 1x1 conv,
+so the order is an internal representation detail; the reference order is
+recovered by `internal_to_reference_perm`, which the checkpoint converter
+applies to convc1's input channels (and parity tests apply to outputs).
+RAFT mode has no GEV: [levels, K] — identical to the reference order.
 """
 
 from __future__ import annotations
@@ -154,16 +160,18 @@ def pyramid_lookup(
     coords = jnp.broadcast_to(coords, (b, h, w)).astype(jnp.float32)
 
     if impl == "pallas":
-        # fused transposed kernel: one call per volume computes every
-        # pyramid level from the level-0 rows (the pooled arrays in `pyr`
-        # are never read and get DCE'd under jit).  The kernel takes the
-        # volume disparity-major ([L, R], pixels on the TPU lane axis) —
-        # the transpose is loop-invariant w.r.t. the GRU iteration so
-        # XLA's while-loop LICM hoists it out of the scan.
-        from anystereo_tpu.ops.pallas.lookup_kernel import gather_pyramid_window_t
+        # fused transposed kernel with pixel-major output: one call per
+        # volume computes every pyramid level from the level-0 rows (the
+        # pooled arrays in `pyr` are never read and get DCE'd under jit).
+        # The kernel takes the volume disparity-major ([L, R], pixels on
+        # the TPU lane axis) — that transpose is loop-invariant w.r.t.
+        # the GRU iteration so XLA's while-loop LICM hoists it out of the
+        # scan — and emits [R, levels*K] so the reshapes below move no
+        # data (internal channel order; see module docstring).
+        from anystereo_tpu.ops.pallas.lookup_kernel import gather_pyramid_window_pm
 
         scales = jnp.asarray([2.0**-i for i in range(n_lvl)], jnp.float32)
-        geo_taps = None
+        out = []
         if pyr.geo_levels is not None:
             geo0 = pyr.geo_levels[0]  # [B, H, W, G, D]
             g = geo0.shape[-2]
@@ -171,37 +179,36 @@ def pyramid_lookup(
             bases_g = jnp.broadcast_to(
                 bases[..., None, :], (b, h, w, g, n_lvl)
             ).reshape(-1, n_lvl)
-            geo_t = gather_pyramid_window_t(
+            geo_pm = gather_pyramid_window_pm(
                 geo0.reshape(-1, geo0.shape[-1]).T, bases_g.T, k, interpret
-            )  # [levels*K, B*H*W*G]
-            geo_taps = geo_t.T.reshape(b, h, w, g, n_lvl, k)
+            )  # [B*H*W*G, levels*K], rows (pixel, g)-major
+            out.append(geo_pm.reshape(b, h, w, g * n_lvl * k))
         corr0 = pyr.corr_levels[0]
         cbases = ((coords - disp)[..., None] * scales - r).reshape(-1, n_lvl)
-        corr_t = gather_pyramid_window_t(
+        corr_pm = gather_pyramid_window_pm(
             corr0.reshape(-1, corr0.shape[-1]).T, cbases.T, k, interpret
-        )
-        corr_taps = corr_t.T.reshape(b, h, w, n_lvl, k)
-        out = []
-        for i in range(n_lvl):  # reference channel order per level
-            if geo_taps is not None:
-                out.append(geo_taps[..., i, :].reshape(b, h, w, -1))
-            out.append(corr_taps[..., i, :])
-        return jnp.concatenate(out, axis=-1)
+        )  # [B*H*W, levels*K]
+        out.append(corr_pm.reshape(b, h, w, n_lvl * k))
+        return jnp.concatenate(out, axis=-1) if len(out) > 1 else out[0]
 
     out = []
-    for i in range(n_lvl):
-        scale = 1.0 / (2.0**i)
-        if pyr.geo_levels is not None:
+    if pyr.geo_levels is not None:
+        g = pyr.geo_levels[0].shape[-2]
+        geo_taps = []
+        for i in range(n_lvl):
+            scale = 1.0 / (2.0**i)
             geo = pyr.geo_levels[i]  # [B, H, W, G, Di]
-            g = geo.shape[-2]
             base = disp * scale - r  # tap k sits at base + k (dx = -r..r)
             base_g = jnp.broadcast_to(base[..., None], (b, h, w, g))
-            taps = _gather_window(geo, base_g, k, impl)  # [B, H, W, G, K]
-            out.append(taps.reshape(b, h, w, -1))  # group-major flatten
+            geo_taps.append(_gather_window(geo, base_g, k, impl))  # [B,H,W,G,K]
+        # internal order: [G, levels, K] flattened (group-major)
+        out.append(jnp.stack(geo_taps, axis=-2).reshape(b, h, w, g * n_lvl * k))
+    for i in range(n_lvl):
+        scale = 1.0 / (2.0**i)
         corr = pyr.corr_levels[i]  # [B, H, W, W2i]
         cbase = (coords - disp) * scale - r
         out.append(_gather_window(corr, cbase, k, impl))  # [B, H, W, K]
-    return jnp.concatenate(out, axis=-1)
+    return jnp.concatenate(out, axis=-1) if len(out) > 1 else out[0]
 
 
 def lookup_channels(num_levels: int, radius: int, groups: Optional[int]) -> int:
@@ -209,3 +216,35 @@ def lookup_channels(num_levels: int, radius: int, groups: Optional[int]) -> int:
     if groups is not None:
         return num_levels * taps * (groups + 1)
     return num_levels * taps
+
+
+def internal_to_reference_perm(
+    num_levels: int, radius: int, groups: Optional[int]
+):
+    """Index map from this framework's lookup channel order to the
+    reference's (geometry.py:57-59).
+
+    perm[i] = reference channel index of internal channel i, so
+    `out_internal[..., c] == out_reference[..., perm[c]]` and a torch
+    convc1 kernel converts as `kernel_hwio[:, :, perm, :]` (the converter
+    gathers the reference's input channels into internal positions).
+    Internal: geo [G, levels, K] flattened, then corr [levels, K].
+    Reference: per level, geo [G, K] then corr [K].  Identity when
+    groups is None (RAFT: both orders are [levels, K])."""
+    import numpy as np
+
+    k = 2 * radius + 1
+    if groups is None:
+        return np.arange(num_levels * k)
+    perm = np.empty(num_levels * k * (groups + 1), np.int64)
+    i = 0
+    for g in range(groups):
+        for lvl in range(num_levels):
+            for kk in range(k):
+                perm[i] = lvl * (groups + 1) * k + g * k + kk
+                i += 1
+    for lvl in range(num_levels):
+        for kk in range(k):
+            perm[i] = lvl * (groups + 1) * k + groups * k + kk
+            i += 1
+    return perm

@@ -602,6 +602,260 @@ else:  # pragma: no cover
     _pyr_t_bwd_sharded = None
 
 
+
+
+# ----------------------------------------------------------------- #
+# pixel-major output variant: same transposed compute (pixels on
+# lanes), but the [levels*taps, tile] result is transposed IN-KERNEL
+# (one VMEM sublane/lane shuffle per tile, measured ~0.2 ms per
+# 240k-pixel volume) so the kernel emits [R, levels*taps] directly.
+# The XLA-side alternative — transpose + per-level slice + interleave
+# + concat of the row-major output — measured 1.2 ms per GRU
+# iteration at KITTI size (38 MB of strided 18-minor-dim shuffles);
+# with pixel-major outputs every downstream reshape is free.
+# ----------------------------------------------------------------- #
+
+
+def _pyr_t_pm_fwd_kernel(vol_ref, bases_ref, out_ref, *, length: int,
+                         taps: int, levels: int):
+    nblk = (length + 7) // 8
+    rows = []
+    for lvl in range(levels):
+        l_i = length >> lvl
+        valid_len = l_i << lvl
+        inv = jnp.float32(1.0 / (1 << lvl))
+        base = bases_ref[lvl:lvl + 1, :]
+        i0 = jnp.floor(base)
+        frac = base - i0
+        i0i = i0.astype(jnp.int32)
+
+        def body(i, s, i0i=i0i, valid_len=valid_len, lvl=lvl):
+            d0 = i * 8
+            v8 = vol_ref[pl.ds(d0, 8), :]
+            dvec = jax.lax.broadcasted_iota(jnp.int32, v8.shape, 0) + d0
+            t = jnp.where(dvec < valid_len, (dvec >> lvl) - i0i, -1)
+            return tuple(
+                s[m] + jnp.where(t == m, v8, 0.0) for m in range(taps + 1)
+            )
+
+        s0 = tuple(
+            jnp.zeros((8, vol_ref.shape[1]), jnp.float32)
+            for _ in range(taps + 1)
+        )
+        s = jax.lax.fori_loop(0, nblk, body, s0)
+        pooled = [jnp.sum(sm, axis=0, keepdims=True) * inv for sm in s]
+        for k in range(taps):
+            rows.append((1.0 - frac) * pooled[k] + frac * pooled[k + 1])
+    res = jnp.concatenate(rows, axis=0)  # [levels*taps, tile]
+    out_ref[:, :] = jnp.swapaxes(res, 0, 1)
+
+
+def _pyr_t_pm_bwd_kernel(bases_ref, g_ref, dvol_ref, *, length: int,
+                         taps: int, levels: int):
+    nblk = (length + 7) // 8
+    g_t = jnp.swapaxes(g_ref[:, :], 0, 1)  # [levels*taps, tile]
+    coeffs = []
+    i0s = []
+    for lvl in range(levels):
+        inv = jnp.float32(1.0 / (1 << lvl))
+        base = bases_ref[lvl:lvl + 1, :]
+        i0 = jnp.floor(base)
+        frac = base - i0
+        i0s.append(i0.astype(jnp.int32))
+        cs = []
+        for m in range(taps + 1):
+            c = jnp.zeros_like(frac)
+            if m < taps:
+                c = c + (1.0 - frac) * g_t[lvl * taps + m:lvl * taps + m + 1, :]
+            if m >= 1:
+                c = c + frac * g_t[lvl * taps + m - 1:lvl * taps + m, :]
+            cs.append(c * inv)
+        coeffs.append(cs)
+
+    def body(i, _):
+        d0 = i * 8
+        shape = (8, dvol_ref.shape[1])
+        dvec = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + d0
+        acc = jnp.zeros(shape, jnp.float32)
+        for lvl in range(levels):
+            valid_len = (length >> lvl) << lvl
+            t = jnp.where(dvec < valid_len, (dvec >> lvl) - i0s[lvl], -1)
+            for m in range(taps + 1):
+                acc = acc + jnp.where(t == m, coeffs[lvl][m], 0.0)
+        dvol_ref[pl.ds(d0, 8), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, nblk, body, 0)
+
+
+def _pyr_t_pm_pallas_fwd(vol_t, bases_t, taps: int, interpret: bool):
+    length, r = vol_t.shape
+    levels = bases_t.shape[0]
+    dpad = _round_up(max(length, 8), 8)
+    tile = _pix_tile(dpad)
+    rpad = _round_up(max(r, 128), tile)
+    vol_p = jnp.pad(
+        vol_t.astype(jnp.float32), ((0, dpad - length), (0, rpad - r))
+    )
+    bases_p = jnp.pad(bases_t.astype(jnp.float32), ((0, 0), (0, rpad - r)))
+    out = pl.pallas_call(
+        functools.partial(
+            _pyr_t_pm_fwd_kernel, length=length, taps=taps, levels=levels
+        ),
+        grid=(rpad // tile,),
+        in_specs=[
+            pl.BlockSpec((dpad, tile), lambda i: (0, i)),
+            pl.BlockSpec((levels, tile), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((tile, levels * taps), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rpad, levels * taps), jnp.float32),
+        interpret=interpret,
+    )(vol_p, bases_p)
+    return out[:r]
+
+
+def _pyr_t_pm_pallas_bwd(bases_t, g, length: int, interpret: bool):
+    levels, r = bases_t.shape
+    taps = g.shape[1] // levels
+    dpad = _round_up(max(length, 8), 8)
+    tile = _pix_tile(dpad)
+    rpad = _round_up(max(r, 128), tile)
+    bases_p = jnp.pad(bases_t.astype(jnp.float32), ((0, 0), (0, rpad - r)))
+    g_p = jnp.pad(g.astype(jnp.float32), ((0, rpad - r), (0, 0)))
+    dvol = pl.pallas_call(
+        functools.partial(
+            _pyr_t_pm_bwd_kernel, length=length, taps=taps, levels=levels
+        ),
+        grid=(rpad // tile,),
+        in_specs=[
+            pl.BlockSpec((levels, tile), lambda i: (0, i)),
+            pl.BlockSpec((tile, levels * taps), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((dpad, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((dpad, rpad), jnp.float32),
+        interpret=interpret,
+    )(bases_p, g_p)
+    return dvol[:length, :r]
+
+
+# Partitioning for the pixel-major variants: the pixel axis R is dim 1 of
+# vol_t/bases_t but dim 0 of the [R, C] output (and of the bwd's incoming
+# gradient); rows/channels stay replicated.
+def _pm_partition(local_fn, r_dims_in, r_dim_out):
+    """r_dims_in: per-operand axis index carrying R; r_dim_out: same for
+    the result."""
+
+    def _spec(ndim, r_axis, r):
+        from jax.sharding import PartitionSpec as P
+
+        return P(*[r if i == r_axis else None for i in range(ndim)])
+
+    def _find_r(arg_infos):
+        from jax.sharding import NamedSharding
+
+        for a, r_axis in zip(arg_infos, r_dims_in):
+            s = a.sharding
+            if (
+                isinstance(s, NamedSharding)
+                and len(s.spec) > r_axis
+                and s.spec[r_axis] is not None
+            ):
+                return s.spec[r_axis]
+        return None
+
+    def partition(*args):
+        static, (mesh, arg_infos, result_infos) = args[:2], args[2:]
+        from jax.sharding import NamedSharding
+
+        r = _find_r(arg_infos)
+        arg_sh = tuple(
+            NamedSharding(mesh, _spec(len(a.shape), r_axis, r))
+            for a, r_axis in zip(arg_infos, r_dims_in)
+        )
+        res = (
+            result_infos
+            if not isinstance(result_infos, (list, tuple))
+            else result_infos[0]
+        )
+        out_sh = NamedSharding(mesh, _spec(len(res.shape), r_dim_out, r))
+
+        def lower_fn(*operands):
+            return local_fn(*operands, *static)
+
+        return mesh, lower_fn, out_sh, arg_sh
+
+    def infer(*args):
+        mesh, arg_infos, result_infos = args[2:]
+        from jax.sharding import NamedSharding
+
+        res = (
+            result_infos
+            if not isinstance(result_infos, (list, tuple))
+            else result_infos[0]
+        )
+        r = _find_r(arg_infos)
+        return NamedSharding(mesh, _spec(len(res.shape), r_dim_out, r))
+
+    return partition, infer
+
+
+if _HAS_PALLAS:
+    _pyr_t_pm_fwd_sharded = custom_partitioning(
+        _pyr_t_pm_pallas_fwd, static_argnums=(2, 3)
+    )
+    _p, _i = _pm_partition(_pyr_t_pm_pallas_fwd, (1, 1), 0)
+    _pyr_t_pm_fwd_sharded.def_partition(
+        partition=_p,
+        infer_sharding_from_operands=_i,
+        sharding_rule="l r, v r -> r t",
+        need_replication_factors=("l", "v", "t"),
+    )
+
+    _pyr_t_pm_bwd_sharded = custom_partitioning(
+        _pyr_t_pm_pallas_bwd, static_argnums=(2, 3)
+    )
+    _p, _i = _pm_partition(_pyr_t_pm_pallas_bwd, (1, 0), 1)
+    _pyr_t_pm_bwd_sharded.def_partition(
+        partition=_p,
+        infer_sharding_from_operands=_i,
+        sharding_rule="v r, r g -> l r",
+        need_replication_factors=("v", "g", "l"),
+    )
+else:  # pragma: no cover
+    _pyr_t_pm_fwd_sharded = _pyr_t_pm_bwd_sharded = None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def gather_pyramid_window_pm(
+    vol_t: jnp.ndarray, bases_t: jnp.ndarray, taps: int, interpret: bool = False
+):
+    """Pixel-major-output twin of gather_pyramid_window_t.
+
+    vol_t: [L, R] (disparity-major), bases_t: [levels, R] →
+    out [R, levels*taps] fp32 with level-major tap blocks per pixel.  The
+    result transpose happens in-kernel (VMEM), so downstream reshapes to
+    [B, H, W, ...] are free.  Level i reads the avg-pool-by-2^i of each
+    column (floor-truncation semantics, geometry.py:24-28); positions are
+    non-differentiable (detached-disparity lookup).  Partitions over R
+    under GSPMD."""
+    return _pyr_t_pm_fwd_sharded(vol_t, bases_t, taps, interpret)
+
+
+def _gpwpm_fwd(vol_t, bases_t, taps, interpret):
+    return _pyr_t_pm_fwd_sharded(vol_t, bases_t, taps, interpret), (
+        bases_t,
+        vol_t.shape[0],
+    )
+
+
+def _gpwpm_bwd(taps, interpret, res, g):
+    bases_t, length = res
+    return _pyr_t_pm_bwd_sharded(bases_t, g, length, interpret), None
+
+
+gather_pyramid_window_pm.defvjp(_gpwpm_fwd, _gpwpm_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def gather_pyramid_window_t(
     vol_t: jnp.ndarray, bases_t: jnp.ndarray, taps: int, interpret: bool = False

@@ -22,6 +22,7 @@ from typing import Dict, Tuple
 import numpy as np
 
 from anystereo_tpu.config import ModelConfig
+from anystereo_tpu.ops.lookup import internal_to_reference_perm
 from anystereo_tpu.utils.torch_compat import (
     conv_kernel,
     conv_transpose_kernel,
@@ -219,6 +220,8 @@ def _convert_shared_tail(c: _Converter, cfg: ModelConfig):
     ub = "update_block"
     for g in ("convc1", "convc2", "convd1", "convd2", "conv"):
         c.conv(f"{ub}/encoder/{g}", f"update_block.encoder.{g}")
+    # RAFT lookup (no GEV) uses the reference channel order unchanged —
+    # internal_to_reference_perm is the identity for groups=None
     for g in ("gru04", "gru08", "gru16"):
         c.conv_gru(f"{ub}/{g}", f"update_block.{g}")
     c.conv(f"{ub}/disp_head/conv1", "update_block.disp_head.conv1")
@@ -346,6 +349,14 @@ def convert_igev_state_dict(
     ub = "update_block"
     for g in ("convc1", "convc2", "convd1", "convd2", "conv"):
         c.conv(f"{ub}/encoder/{g}", f"update_block.encoder.{g}")
+    # lookup channels arrive in the framework's internal order (g-major
+    # across levels; ops/lookup.py docstring) — gather the reference
+    # convc1 input channels into internal positions
+    perm = internal_to_reference_perm(
+        cfg.corr_levels, cfg.corr_radius, cfg.gwc_groups
+    )
+    k = c.params["update_block"]["encoder"]["convc1"]["kernel"]
+    c.params["update_block"]["encoder"]["convc1"]["kernel"] = k[:, :, perm, :]
     for g in ("gru04", "gru08", "gru16"):
         c.conv_gru(f"{ub}/{g}", f"update_block.{g}")
     c.conv(f"{ub}/disp_head/conv1", "update_block.disp_head.conv1")

@@ -12,12 +12,15 @@ import jax.numpy as jnp
 from anystereo_tpu.config import ModelConfig, raft_config
 from anystereo_tpu.nn.model import AnyStereo
 
-# regenerated 2026-08-17 after switching GELU to the exact (erf) form the
-# torch reference uses (verified by tests/test_full_parity.py)
+# igev row regenerated 2026-08-17 after the lookup switched to the internal
+# (g-major) channel order (ops/lookup.py docstring) — same math, different
+# binding of the randomly-initialized convc1 weights to lookup channels;
+# reference-order parity is proven by tests/test_full_parity.py via the
+# converter's channel permutation.  Earlier regen: exact (erf) GELU.
 GOLDEN = {
-    "igev": [6.718129, 15.512094, 11.766248, 17.825256, 16.681341, 15.783713,
-             11.938251, 17.206884, 15.883462, 16.972982, 17.235853, 17.222736,
-             16.719198, 16.014507, 16.185093, 10.600921],
+    "igev": [7.097925, 14.859694, 10.721042, 17.216562, 16.051649, 14.950571,
+             11.750313, 16.038221, 17.297558, 17.856905, 16.688665, 17.864592,
+             15.839089, 17.58881, 17.0749, 10.596992],
     "igev_init": [3.48105, 3.552955, 3.536513, 3.53917],
     "raft": [-0.289482, -5.103186, 0.286458, -2.82279, -5.192584, -5.060033,
              0.33677, -5.593468, -1.062798, -3.952824, -4.718577, -2.762172,

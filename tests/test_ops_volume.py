@@ -15,7 +15,11 @@ from anystereo_tpu.ops.cost_volume import (
     build_gwc_volume_unrolled,
     disparity_regression,
 )
-from anystereo_tpu.ops.lookup import build_pyramid, pyramid_lookup
+from anystereo_tpu.ops.lookup import (
+    build_pyramid,
+    internal_to_reference_perm,
+    pyramid_lookup,
+)
 from anystereo_tpu.ops.upsample import (
     context_upsample_queries,
     unfold3x3,
@@ -134,7 +138,11 @@ class TestPyramidLookup:
         corr = all_pairs_correlation(jnp.asarray(fl), jnp.asarray(fr))
         pyr = build_pyramid(corr, jnp.asarray(geo), levels, r)
         got = np.asarray(pyramid_lookup(pyr, jnp.asarray(disp)))
-        got_nchw = np.transpose(got, (0, 3, 1, 2))
+        # internal channel order -> reference order (ops/lookup.py docstring)
+        perm = internal_to_reference_perm(levels, r, g)
+        got_ref_order = np.empty_like(got)
+        got_ref_order[..., perm] = got
+        got_nchw = np.transpose(got_ref_order, (0, 3, 1, 2))
         np.testing.assert_allclose(got_nchw, want, rtol=1e-4, atol=1e-4)
         assert got.shape[-1] == levels * (2 * r + 1) * (g + 1)
 

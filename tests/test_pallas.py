@@ -117,14 +117,14 @@ class TestWindowKernel:
         # force the fused pallas path in interpret mode
         import anystereo_tpu.ops.pallas.lookup_kernel as kmod
 
-        orig = kmod.gather_pyramid_window_t
-        kmod.gather_pyramid_window_t = (
+        orig = kmod.gather_pyramid_window_pm
+        kmod.gather_pyramid_window_pm = (
             lambda vol, bases, taps, interp=False: orig(vol, bases, taps, True)
         )
         try:
             got = pyramid_lookup(pyr, disp, impl="pallas")
         finally:
-            kmod.gather_pyramid_window_t = orig
+            kmod.gather_pyramid_window_pm = orig
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                    atol=1e-4)
 
@@ -216,6 +216,81 @@ class TestTransposedPyramidKernel:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
         )
+
+
+class TestPixelMajorPyramidKernel:
+    """gather_pyramid_window_pm: in-kernel output transpose must agree
+    exactly with gather_pyramid_window_t (itself oracle-tested), forward
+    and backward, and partition over the pixel axis under GSPMD."""
+
+    @pytest.mark.parametrize("r_,l", [(300, 48), (64, 45), (40, 312)])
+    def test_fwd_matches_transposed_kernel(self, rng, r_, l):
+        from anystereo_tpu.ops.pallas.lookup_kernel import (
+            gather_pyramid_window_pm,
+            gather_pyramid_window_t,
+        )
+
+        levels, k = 2, 9
+        vol_t = jnp.asarray(rng.randn(l, r_).astype(np.float32))
+        bases_t = jnp.asarray(
+            (rng.rand(levels, r_) * (l + 10) - 8).astype(np.float32)
+        )
+        want = gather_pyramid_window_t(vol_t, bases_t, k, True).T
+        got = gather_pyramid_window_pm(vol_t, bases_t, k, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+    def test_vjp_matches_transposed_kernel(self, rng):
+        from anystereo_tpu.ops.pallas.lookup_kernel import (
+            gather_pyramid_window_pm,
+            gather_pyramid_window_t,
+        )
+
+        r_, l, levels, k = 50, 48, 2, 9
+        vol_t = jnp.asarray(rng.randn(l, r_).astype(np.float32))
+        bases_t = jnp.asarray((rng.rand(levels, r_) * 30 - 4).astype(np.float32))
+        g = jnp.asarray(rng.randn(r_, levels * k).astype(np.float32))
+        want = jax.grad(
+            lambda v: (gather_pyramid_window_t(v, bases_t, k, True) * g.T).sum()
+        )(vol_t)
+        got = jax.grad(
+            lambda v: (gather_pyramid_window_pm(v, bases_t, k, True) * g).sum()
+        )(vol_t)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+    def test_partitions_without_allgather(self, rng):
+        import re
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from anystereo_tpu.ops.pallas.lookup_kernel import (
+            gather_pyramid_window_pm,
+            gather_pyramid_window_t,
+        )
+
+        devices = np.array(jax.devices()[:8])
+        if devices.size < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(devices.reshape(8), ("spatial",))
+        r_, l, levels, k = 8 * 64, 48, 2, 9
+        vol_np = rng.rand(l, r_).astype(np.float32)
+        bases_np = (rng.rand(levels, r_) * 40 - 4).astype(np.float32)
+        sh = NamedSharding(mesh, P(None, "spatial"))
+        vol_t = jax.device_put(jnp.asarray(vol_np), sh)
+        bases_t = jax.device_put(jnp.asarray(bases_np), sh)
+
+        f = jax.jit(lambda v, b: gather_pyramid_window_pm(v, b, k, True))
+        hlo = f.lower(vol_t, bases_t).compile().as_text()
+        assert not re.search(r"all-gather", hlo), "kernel inputs were gathered"
+        out = f(vol_t, bases_t)
+        assert out.sharding.spec == P("spatial",) or out.sharding.spec == P(
+            "spatial", None
+        )
+        ref = gather_pyramid_window_t(
+            jnp.asarray(vol_np), jnp.asarray(bases_np), k, True
+        ).T
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
 class TestShardedKernel:
