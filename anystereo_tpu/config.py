@@ -75,11 +75,12 @@ class PosEncType(str, enum.Enum):
     SINUSOID = "sinusoid"  # PositionEncoder 'sinusoid' + projection (liif.py:181-302)
     LEARN = "learn"  # random-feature projection + LN/GELU MLP (liif.py:218-229)
     DPB = "dpb"  # dynamic position bias MLP (liif.py:230-245)
-    # The reference's 'ipe' variant (sinc cell modulation, liif.py:266-273)
-    # is NOT implemented: it requires the rel_cell input that no reference
-    # config path ever wires to PositionEncoder (pos_enconding_new hardwires
-    # 'sinusoid', liif.py:592), and the cell plumbing it would need does not
-    # exist there either — dead spec, documented disposition.
+    # Integrated positional encoding: the sinusoid bank modulated by
+    # sinc(cell @ B^T / pi) over the query cell footprint (liif.py:266-273).
+    # Dead config space in the reference (pos_enconding_new hardwires
+    # 'sinusoid', liif.py:592, and never plumbs the cell input), but this
+    # framework carries the query scale everywhere, so the variant is live.
+    IPE = "ipe"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +135,12 @@ class ModelConfig:
     n_downsample: int = 2  # disparity at 1/2^n resolution
     agg_type: AggregationType = AggregationType.TYPE5
     slow_fast_gru: bool = False
+    # GRU cell: "conv" = 3x3 ConvGRU with context gate biases (the only
+    # cell any reference config reaches); "sep" = the separable 1x5/5x1
+    # SepConvGRU (update.py:43-71 — defined but dead in the reference;
+    # wired here as a real variant).  SepConvGRU has no context-bias form,
+    # so the precomputed context gates are unused under "sep".
+    gru_type: str = "conv"
     gwc_groups: int = 8
     fnet_dim: int = 256  # RAFT matching-feature dim
     liif: LiifConfig = dataclasses.field(default_factory=LiifConfig)
@@ -181,6 +188,8 @@ class ModelConfig:
             raise ValueError(f"agg_type {self.agg_type} is RAFT-core only")
         if self.n_gru_layers not in (1, 2, 3):
             raise ValueError("n_gru_layers must be 1, 2, or 3")
+        if self.gru_type not in ("conv", "sep"):
+            raise ValueError("gru_type must be 'conv' or 'sep'")
 
 
 def raft_config(**overrides) -> ModelConfig:

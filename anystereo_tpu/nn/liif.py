@@ -149,6 +149,35 @@ class SinusoidPositionEncoder(nn.Module):
         return nn.Dense(self.head)(enc)
 
 
+class IpePositionEncoder(nn.Module):
+    """PositionEncoder 'ipe' variant (liif.py:254-273): the sinusoid
+    frequency bank with each [sin, cos] feature attenuated by
+    sinc(cell @ B^T / pi) — an integrated positional encoding over the
+    query cell footprint that anti-aliases high frequencies when decoding
+    at coarse output scales.  torch.sinc(x/pi) == sin(x)/x with the
+    removable singularity at 0.  Dead config space in the reference (the
+    cell input is never plumbed there); live here via the query scale."""
+
+    enc_dim: int = 2
+    posenc_scale: float = 10.0
+    head: int = 8
+
+    @nn.compact
+    def __call__(self, rel, cell):
+        n = max(self.enc_dim // 4, 1)
+        b = 2.0 ** np.linspace(0, self.posenc_scale, n) - 1
+        bank = np.stack([b, np.zeros_like(b)], axis=-1)
+        bank = np.concatenate([bank, np.roll(bank, 1, axis=-1)], axis=0)
+        bank_j = jnp.asarray(bank, rel.dtype)
+        proj = rel @ bank_j.T  # [..., 2n]
+        carg = cell.astype(rel.dtype) @ bank_j.T
+        safe = jnp.where(jnp.abs(carg) < 1e-8, 1.0, carg)
+        cp = jnp.where(jnp.abs(carg) < 1e-8, 1.0, jnp.sin(safe) / safe)
+        enc = jnp.concatenate([jnp.sin(proj) * cp, jnp.cos(proj) * cp],
+                              axis=-1)
+        return nn.Dense(self.head)(enc)
+
+
 class LearnedPositionEncoder(nn.Module):
     """PositionEncoder 'learn' variant (liif.py:218-229, 282-295): random
     Fourier features through a trainable projection Wr ~ N(0, gamma^-2),
@@ -255,6 +284,10 @@ class LiifDecoder(nn.Module):
             return DpbPositionEncoder(
                 hidden_dims=d, enc_dims=d, name=f"posenc_{i}"
             )
+        if cfg.pos_enc is PosEncType.IPE:
+            return IpePositionEncoder(
+                enc_dim=max(cfg.pos_dim, 8), name=f"posenc_{i}"
+            )
         return None
 
     @nn.compact
@@ -341,7 +374,14 @@ class LiifDecoder(nn.Module):
             if rel0 is None:
                 rel0 = rel
             if posencs[i] is not None:
-                rel = posencs[i](rel)
+                if isinstance(posencs[i], IpePositionEncoder):
+                    assert scale is not None
+                    cell = jnp.broadcast_to(
+                        (2.0 / scale).reshape(b, 1, 1), (b, q, 2)
+                    )
+                    rel = posencs[i](rel, cell)
+                else:
+                    rel = posencs[i](rel)
             piece = [q_feat, rel.astype(q_feat.dtype)]
             if cfg.decode_cell:
                 assert scale is not None
@@ -380,9 +420,16 @@ class LiifDecoder(nn.Module):
                 axis=-1,
             )  # [H', W', 2]
             penc = self._make_posenc(i)
-            if penc is not None:
+            if isinstance(penc, IpePositionEncoder):
+                relb = jnp.broadcast_to(rel[None], (b, oh, ow, 2))
+                cell = jnp.broadcast_to(
+                    (2.0 / scale).reshape(b, 1, 1, 1), (b, oh, ow, 2)
+                )
+                rel = penc(relb, cell)
+            elif penc is not None:
                 rel = penc(rel)
-            rel = jnp.broadcast_to(rel[None], (b, oh, ow, rel.shape[-1]))
+            if rel.ndim == 3:  # unbatched [H', W', C] → add batch
+                rel = jnp.broadcast_to(rel[None], (b, oh, ow, rel.shape[-1]))
             piece = [qf, rel.astype(qf.dtype)]
             if cfg.decode_cell:
                 cell = jnp.broadcast_to(

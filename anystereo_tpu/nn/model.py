@@ -113,7 +113,8 @@ class AnyStereo(nn.Module):
             for i in range(cfg.n_gru_layers)
         ]
         self.update_block = BasicMultiUpdateBlock(
-            hidden_dims=cfg.hidden_dims, n_layers=cfg.n_gru_layers, dtype=dt
+            hidden_dims=cfg.hidden_dims, n_layers=cfg.n_gru_layers,
+            gru_type=cfg.gru_type, dtype=dt
         )
         self.liif = LiifDecoder(cfg.liif, dtype=dt)
 

@@ -128,7 +128,17 @@ class BasicMultiUpdateBlock(nn.Module):
 
     hidden_dims: Sequence[int] = (128, 128, 128)  # indexed [2]=1/4 as in ref
     n_layers: int = 3
+    gru_type: str = "conv"  # "conv" | "sep" (SepConvGRU, no context gates)
     dtype: Optional[Dtype] = None
+
+    def _gru(self, hidden_dim, name):
+        """GRU cell factory returning a callable (h, context, *inputs).
+        SepConvGRU (the reference's dead separable variant, wired here as a
+        real config) takes no context biases — they are dropped."""
+        if self.gru_type == "sep":
+            cell = SepConvGRU(hidden_dim, self.dtype, name=name)
+            return lambda h, context, *inputs: cell(h, *inputs)
+        return ConvGRU(hidden_dim, self.dtype, name=name)
 
     @nn.compact
     def __call__(
@@ -144,32 +154,32 @@ class BasicMultiUpdateBlock(nn.Module):
     ):
         net = list(net)
         if iter16 and self.n_layers == 3:
-            net[2] = ConvGRU(self.hidden_dims[0], self.dtype, name="gru16")(
+            net[2] = self._gru(self.hidden_dims[0], "gru16")(
                 net[2], context[2], pool2x(net[1])
             )
         if iter08 and self.n_layers >= 2:
             if self.n_layers > 2:
-                net[1] = ConvGRU(self.hidden_dims[1], self.dtype, name="gru08")(
+                net[1] = self._gru(self.hidden_dims[1], "gru08")(
                     net[1],
                     context[1],
                     pool2x(net[0]),
                     interp_bilinear(net[2], net[1].shape[1:3]),
                 )
             else:
-                net[1] = ConvGRU(self.hidden_dims[1], self.dtype, name="gru08")(
+                net[1] = self._gru(self.hidden_dims[1], "gru08")(
                     net[1], context[1], pool2x(net[0])
                 )
         if iter04:
             motion = BasicMotionEncoder(self.dtype, name="encoder")(disp, corr)
             if self.n_layers > 1:
-                net[0] = ConvGRU(self.hidden_dims[2], self.dtype, name="gru04")(
+                net[0] = self._gru(self.hidden_dims[2], "gru04")(
                     net[0],
                     context[0],
                     motion,
                     interp_bilinear(net[1], net[0].shape[1:3]),
                 )
             else:
-                net[0] = ConvGRU(self.hidden_dims[2], self.dtype, name="gru04")(
+                net[0] = self._gru(self.hidden_dims[2], "gru04")(
                     net[0], context[0], motion
                 )
         if not update:

@@ -324,6 +324,42 @@ class TestPositionEncoders:
         got = np.asarray(mod.apply({"params": params}, jnp.asarray(pos)))
         np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
 
+    def test_ipe_matches_reference(self, rng):
+        """'ipe' (liif.py:254-273): sinusoid bank with each [sin, cos]
+        feature attenuated by torch.sinc((1/pi) * cell @ B^T)."""
+        from anystereo_tpu.nn.liif import IpePositionEncoder
+
+        enc_dims, head, posenc_scale = 16, 8, 10.0
+        n = enc_dims // 4
+        b_vals = 2.0 ** torch.linspace(0, posenc_scale, n) - 1
+        b_vals = torch.stack([b_vals, torch.zeros_like(b_vals)], dim=-1)
+        b_vals = torch.cat([b_vals, torch.roll(b_vals, 1, -1)], dim=0)
+        proj = tnn.Linear(enc_dims, head)
+        pos = rng.randn(2, 40, 2).astype(np.float32)
+        cell = (rng.rand(2, 40, 2).astype(np.float32) * 0.5 + 1e-3)
+
+        with torch.no_grad():
+            tp = torch.from_numpy(pos) @ b_vals.transpose(-2, -1)
+            cp = torch.sinc(
+                (1.0 / np.pi) * torch.from_numpy(cell) @ b_vals.transpose(-2, -1)
+            )
+            enc = torch.cat([torch.sin(tp) * cp, torch.cos(tp) * cp], dim=-1)
+            want = proj(enc).numpy()
+
+        params = {
+            "Dense_0": {
+                "kernel": jnp.asarray(dense_kernel(proj.weight.detach().numpy())),
+                "bias": jnp.asarray(proj.bias.detach().numpy()),
+            }
+        }
+        mod = IpePositionEncoder(
+            enc_dim=enc_dims, posenc_scale=posenc_scale, head=head
+        )
+        got = np.asarray(
+            mod.apply({"params": params}, jnp.asarray(pos), jnp.asarray(cell))
+        )
+        np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
     def test_dpb_matches_reference(self, rng):
         from anystereo_tpu.nn.liif import DpbPositionEncoder
 

@@ -94,6 +94,24 @@ class TestLiifVariants:
         )
         _run(cfg)
 
+    def test_ipe_posenc(self):
+        """The ipe encoder needs the query cell — both entry modes."""
+        cfg = ModelConfig(
+            max_disp=32,
+            liif=LiifConfig(pos_enc=PosEncType.IPE, pos_dim=16),
+        )
+        _run(cfg)
+        # dense separable grid path (eval decode) also plumbs the cell
+        model = AnyStereo(cfg)
+        rng = np.random.RandomState(0)
+        left = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32) * 255)
+        right = jnp.asarray(rng.rand(1, 32, 64, 3).astype(np.float32) * 255)
+        variables = model.init(
+            jax.random.PRNGKey(0), left, right, iters=1, mode="eval"
+        )
+        out = model.apply(variables, left, right, iters=1, mode="eval")
+        assert bool(jnp.isfinite(out.disp_final).all())
+
     def test_dpb_posenc(self):
         cfg = ModelConfig(
             max_disp=32,
@@ -128,3 +146,13 @@ class TestGruVariants:
 
     def test_slow_fast(self):
         _run(ModelConfig(max_disp=32, slow_fast_gru=True))
+
+    def test_sep_conv_gru(self):
+        """gru_type='sep' routes every level through SepConvGRU (the
+        reference's dead separable variant, wired as a live config)."""
+        out = _run(ModelConfig(max_disp=32, gru_type="sep"))
+        assert bool(jnp.isfinite(out.init_disp).all())
+
+    def test_bad_gru_type_rejected(self):
+        with pytest.raises(ValueError):
+            ModelConfig(max_disp=32, gru_type="nope")
