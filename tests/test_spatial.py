@@ -8,7 +8,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from anystereo_tpu.parallel.spatial import halo_exchange, infer_spatial_sharded
 
@@ -78,3 +78,58 @@ class TestSpatialInference:
         # GRU iterations; median stays well under a tenth of a pixel
         diff = np.abs(np.asarray(got) - np.asarray(ref))
         assert np.median(diff) < 0.05
+
+
+class TestMiddleburyFTiledMemory:
+    def test_aot_memory_at_full_res(self, cpu_devices):
+        """BASELINE config #4 (Middlebury-F-class 1504x2016, max_disp 192):
+        the 8-way H-tiled program's per-device footprint must be a small
+        fraction of the unsharded one (AOT compile + memory analysis only —
+        executing this size on the CPU mesh is impractical, and numerical
+        agreement is pinned separately at 64x64 above and in the multichip
+        dryrun).  This is the production high-res inference configuration;
+        tools/tiled_infer.py is the runnable driver."""
+        from anystereo_tpu.config import ModelConfig
+        from anystereo_tpu.nn.model import AnyStereo
+
+        n = 8
+        if len(jax.devices()) < n:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(np.asarray(jax.devices()[:n]).reshape(1, n),
+                    ("data", "spatial"))
+        h, w = 1504, 2016
+        cfg = ModelConfig(max_disp=192)
+        model = AnyStereo(cfg)
+
+        left = jax.ShapeDtypeStruct((1, h, w, 3), jnp.float32)
+        variables = jax.eval_shape(
+            lambda k, l, r: model.init(k, l, r, iters=1, mode="eval"),
+            jax.random.PRNGKey(0), left, left,
+        )
+
+        def fwd(v, l, r):
+            return model.apply(v, l, r, iters=8, mode="eval").disp_final
+
+        img_sh = NamedSharding(mesh, P(None, "spatial"))
+        repl = NamedSharding(mesh, P())
+        tiled = jax.jit(fwd, in_shardings=(repl, img_sh, img_sh),
+                        out_shardings=img_sh)
+        single = jax.jit(fwd)
+
+        def total(m):
+            return (m.temp_size_in_bytes + m.argument_size_in_bytes
+                    + m.output_size_in_bytes)
+
+        mt = tiled.lower(variables, left, left).compile().memory_analysis()
+        ms = single.lower(variables, left, left).compile().memory_analysis()
+        if mt is None or ms is None:
+            pytest.skip("memory analysis unavailable on this backend")
+        ratio = total(mt) / total(ms)
+        # ideal 1/8 = 0.125 + replicated params + halo overhead; the
+        # unsharded program peaks >20 GiB at this size (won't fit one v5e
+        # chip), the tiled one must stay well under half of that
+        assert ratio < 0.45, (
+            f"per-shard footprint {ratio:.2f}x of unsharded — tiling is not "
+            f"reducing memory (tiled {total(mt)/2**30:.2f} GiB vs "
+            f"single {total(ms)/2**30:.2f} GiB)"
+        )
