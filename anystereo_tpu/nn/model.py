@@ -36,7 +36,7 @@ from anystereo_tpu.config import NormType
 from anystereo_tpu.ops.coords import make_coord
 from anystereo_tpu.ops.cost_volume import (
     all_pairs_correlation,
-    build_gwc_volume,
+    build_gwc_and_corr,
     disparity_regression,
 )
 from anystereo_tpu.ops.lookup import build_pyramid, pyramid_lookup
@@ -142,12 +142,15 @@ class AnyStereo(nn.Module):
     def _cost_stage(self, match_l, match_r, feats_l):
         """Build lookup pyramids and (IGEV) the initial disparity."""
         cfg = self.cfg
-        corr = all_pairs_correlation(match_l, match_r)  # fp32 [B,H,W,W2]
         if cfg.core is CoreType.RAFT:
+            corr = all_pairs_correlation(match_l, match_r)  # fp32 [B,H,W,W2]
             pyr = build_pyramid(corr, None, cfg.corr_levels, cfg.corr_radius)
             return pyr, None
         d = cfg.volume_disp
-        gwc = build_gwc_volume(match_l, match_r, d, cfg.gwc_groups)  # [B,H,W,G,D] f32
+        # one grouped MXU matmul serves both the GWC volume (banded
+        # extraction) and the lookup pyramid's init-corr (group sum) —
+        # replaces the D-step shift-multiply scan (ops/cost_volume.py)
+        gwc, corr = build_gwc_and_corr(match_l, match_r, d, cfg.gwc_groups)
         vol = jnp.transpose(gwc, (0, 4, 1, 2, 3)).astype(self._dt)  # [B,D,H,W,G]
         gev = self.cost_agg(vol, feats_l)  # [B,D,H,W,8]
         logits = self.classifier(gev.astype(jnp.float32))[..., 0]  # [B,D,H,W]

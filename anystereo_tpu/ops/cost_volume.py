@@ -14,6 +14,8 @@ MXU.
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
 
@@ -78,6 +80,79 @@ def build_gwc_volume(
 
     _, slabs = jax.lax.scan(step, fr_g, None, length=max_disp)  # [D, B, H, W, G]
     return jnp.moveaxis(slabs, 0, -1)  # [B, H, W, G, D]
+
+
+def _band_from_all_pairs(ap: jnp.ndarray, max_disp: int) -> jnp.ndarray:
+    """Banded extraction from an all-pairs matrix, gather-free.
+
+    ap: [..., W, W] with rows w (left column) and cols v (right column) →
+    band [..., W, D]: band[..., w, d] = ap[..., w, w-d], zero where w < d
+    (the reference's zero-initialized triangle, submodule.py:263-269).
+
+    TPU note: take_along_axis would lower to per-element scalar gathers;
+    instead the diagonal stride is materialized by flattening the last two
+    axes and re-viewing at pitch W+1 — flat[w*(W+1)+j] == ap[w, w+j-D+1]
+    — so the whole thing is pad + reshape + slice, which XLA turns into a
+    single strided copy."""
+    *lead, w_rows, w_cols = ap.shape
+    assert w_rows == w_cols, "all-pairs matrix must be square"
+    d = max_disp
+    assert d <= w_rows, "banded extraction needs max_disp <= W"
+    flat = ap.reshape(*lead, w_rows * w_rows)
+    flat = jnp.pad(
+        flat, [(0, 0)] * len(lead) + [(d - 1, w_rows - d + 1)]
+    )
+    q = flat.reshape(*lead, w_rows, w_rows + 1)[..., :d]
+    band = q[..., ::-1]  # j = D-1-d → d ascending
+    mask = jnp.arange(w_rows)[:, None] >= jnp.arange(d)[None, :]
+    return jnp.where(mask, band, 0.0)
+
+
+def build_gwc_and_corr(
+    fl: jnp.ndarray, fr: jnp.ndarray, max_disp: int, num_groups: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused GWC volume + all-pairs correlation from one set of grouped
+    MXU matmuls.
+
+    The IGEV cost stage computes BOTH an all-pairs correlation (the lookup
+    pyramid's init-corr, geometry.py:63-72) and a group-wise correlation
+    volume (submodule.py:253-269) from the same matching features.  The
+    group-wise all-pairs matrices S_g = fl_g @ fr_g^T contain both answers:
+      corr = Σ_g S_g          (full-channel inner product)
+      gwc[..., g, d] = S_g[w, w-d] / (C/G)   (banded diagonal extraction)
+    One einsum per group on the MXU replaces the D-step shift-multiply
+    scan (which streams both feature maps through HBM once per disparity —
+    the scan's O(D·|f|) traffic, not its FLOPs, made it the cost-stage
+    hotspot).
+
+    Returns (gwc [B,H,W,G,D] fp32, corr [B,H,W,W] fp32).  bf16 inputs take
+    the native MXU path with exact fp32 accumulation; values match the
+    scan build up to fp32 reduction order.  Falls back to the scan build
+    when max_disp > W (banded reshape precondition; only toy shapes)."""
+    b, h, w, c = fl.shape
+    assert c % num_groups == 0
+    cg = c // num_groups
+    if max_disp > w:
+        return (
+            build_gwc_volume(fl, fr, max_disp, num_groups),
+            all_pairs_correlation(fl, fr),
+        )
+    fl_g = fl.reshape(b, h, w, num_groups, cg)
+    fr_g = fr.reshape(b, h, w, num_groups, cg)
+    corr = None
+    bands = []
+    inv = jnp.float32(1.0 / cg)
+    for g in range(num_groups):  # unrolled: G is small (8), keeps peak
+        ap = jnp.einsum(  # memory at one [B,H,W,W] per step
+            "bhwc,bhvc->bhwv",
+            fl_g[..., g, :],
+            fr_g[..., g, :],
+            preferred_element_type=jnp.float32,
+        )
+        corr = ap if corr is None else corr + ap
+        bands.append(_band_from_all_pairs(ap, max_disp) * inv)
+    gwc = jnp.stack(bands, axis=-2)  # [B, H, W, G, D]
+    return gwc, corr
 
 
 def build_gwc_volume_unrolled(

@@ -3,6 +3,7 @@ context-upsample family against torch oracles reproducing the reference's
 exact formulas (submodule.py:253-398, geometry.py:6-72)."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as TF
 
@@ -213,3 +214,62 @@ class TestCoords:
         seq_x = -1 + 1 / 6 + (2 / 6) * np.arange(6)
         want = np.stack(np.meshgrid(seq_y, seq_x, indexing="ij"), -1).reshape(-1, 2)
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestFusedGwcCorr:
+    """build_gwc_and_corr: the grouped-matmul + banded-extraction build
+    must match the shift-multiply scan (itself torch-oracle-tested) and
+    the HIGHEST-precision all-pairs einsum."""
+
+    @pytest.mark.parametrize(
+        "b,h,w,c,g,d", [(2, 8, 40, 32, 8, 16), (1, 4, 16, 24, 4, 16),
+                        (1, 5, 48, 64, 8, 48)]
+    )
+    def test_matches_scan_and_allpairs(self, b, h, w, c, g, d):
+        from anystereo_tpu.ops.cost_volume import (
+            all_pairs_correlation,
+            build_gwc_and_corr,
+            build_gwc_volume,
+        )
+
+        rng = np.random.RandomState(7)
+        fl = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        fr = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        gwc, corr = build_gwc_and_corr(fl, fr, d, g)
+        np.testing.assert_allclose(
+            np.asarray(gwc), np.asarray(build_gwc_volume(fl, fr, d, g)),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(corr), np.asarray(all_pairs_correlation(fl, fr)),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_fallback_when_disp_exceeds_width(self):
+        """max_disp > W (toy shapes) takes the scan path; values and the
+        zero triangle are identical."""
+        from anystereo_tpu.ops.cost_volume import (
+            build_gwc_and_corr,
+            build_gwc_volume_unrolled,
+        )
+
+        rng = np.random.RandomState(3)
+        fl = jnp.asarray(rng.randn(1, 3, 10, 8).astype(np.float32))
+        fr = jnp.asarray(rng.randn(1, 3, 10, 8).astype(np.float32))
+        gwc, _ = build_gwc_and_corr(fl, fr, 12, 2)
+        want = build_gwc_volume_unrolled(fl, fr, 12, 2)
+        np.testing.assert_allclose(np.asarray(gwc), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_zero_triangle_exact(self):
+        from anystereo_tpu.ops.cost_volume import build_gwc_and_corr
+
+        rng = np.random.RandomState(1)
+        fl = jnp.asarray(rng.randn(1, 2, 32, 16).astype(np.float32))
+        fr = jnp.asarray(rng.randn(1, 2, 32, 16).astype(np.float32))
+        gwc, _ = build_gwc_and_corr(fl, fr, 8, 4)
+        gwc = np.asarray(gwc)
+        for w_i in range(32):
+            for d_i in range(8):
+                if w_i < d_i:
+                    assert (gwc[:, :, w_i, :, d_i] == 0).all()
