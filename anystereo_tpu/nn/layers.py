@@ -155,6 +155,53 @@ class _Conv3x3x3Folded(nn.Module):
         return y
 
 
+class _Conv3x3x3FoldedS2(nn.Module):
+    """Exact 3x3x3 stride-2 conv3d (pad 1) as three depth-subsampled 2-D
+    stride-2 convs: out[od] = sum_kd conv2d_s2(x[2*od + kd - 1], w[kd]).
+
+    Same rationale as _Conv3x3x3Folded: XLA's conv3d lowering handles the
+    hourglass's thin-channel volumes poorly on TPU; the depth-batched 2-D
+    convs hit the tuned conv2d path.  Param tree (kernel [3,3,3,Ci,Co] +
+    bias) and init are identical to nn.Conv — checkpoints and torch
+    conversion unaffected."""
+
+    features: int
+    use_bias: bool = False
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, 3, ci, self.features),
+            self.param_dtype,
+        )
+        dt = self.dtype or x.dtype
+        b, d, h, wd, _ = x.shape
+        d_out = (d - 1) // 2 + 1
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        wdt = w.astype(dt)
+        y = None
+        for kd in range(3):
+            slab = jax.lax.slice_in_dim(xp, kd, kd + 2 * d_out - 1, 2, axis=1)
+            s2 = slab.reshape(b * d_out, h, wd, ci).astype(dt)
+            o = jax.lax.conv_general_dilated(
+                s2, wdt[kd], (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = o if y is None else y + o
+        y = y.reshape(b, d_out, y.shape[1], y.shape[2], self.features)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(dt)
+        return y
+
+
 class ConvNormAct(nn.Module):
     """conv (bias=False when normed) → norm → activation.
 
@@ -189,6 +236,11 @@ class ConvNormAct(nn.Module):
         elif self.dims == 3 and k == (3, 3, 3) and s == (1, 1, 1) and p == (1, 1, 1):
             # same name/params as the nn.Conv it replaces (see docstring)
             y = _Conv3x3x3Folded(
+                self.features, use_bias=bias, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="Conv_0",
+            )(x)
+        elif self.dims == 3 and k == (3, 3, 3) and s == (2, 2, 2) and p == (1, 1, 1):
+            y = _Conv3x3x3FoldedS2(
                 self.features, use_bias=bias, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="Conv_0",
             )(x)
@@ -239,22 +291,55 @@ class TorchConvTranspose(nn.Module):
             (self.kernel[i] - 1 - self.padding[i], self.kernel[i] - 1 - self.padding[i])
             for i in range(dims)
         )
-        spatial = "".join("DHW"[-dims + i] for i in range(dims)) if dims <= 3 else None
-        lhs_spec = "N" + spatial + "C"
-        out = jax.lax.conv_general_dilated(
-            x.astype(dt),
-            w.astype(dt),
-            window_strides=(1,) * dims,
-            padding=pad,
-            lhs_dilation=self.stride,
-            dimension_numbers=(lhs_spec, spatial + "IO", lhs_spec),
-        )
+        if dims == 3 and self.kernel == (4, 4, 4) and self.stride == (2, 2, 2) \
+                and self.padding == (1, 1, 1):
+            out = self._depth_decomposed_3d(x, w, dt)
+        else:
+            spatial = "".join("DHW"[-dims + i] for i in range(dims)) if dims <= 3 else None
+            lhs_spec = "N" + spatial + "C"
+            out = jax.lax.conv_general_dilated(
+                x.astype(dt),
+                w.astype(dt),
+                window_strides=(1,) * dims,
+                padding=pad,
+                lhs_dilation=self.stride,
+                dimension_numbers=(lhs_spec, spatial + "IO", lhs_spec),
+            )
         if self.use_bias:
             b = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.param_dtype
             )
             out = out + b.astype(dt)
         return out
+
+    def _depth_decomposed_3d(self, x, wf, dt):
+        """The k4 s2 p1 3-D transposed conv with the depth axis decomposed
+        into four depth-batched 2-D transposed convs (same thin-channel
+        conv3d pathology as _Conv3x3x3Folded; see its docstring).
+
+        With the already-flipped kernel wf (conv form), the input-dilated
+        conv gives out[2m] = conv2dT(x[m-1], wf[0]) + conv2dT(x[m], wf[2])
+        and out[2m+1] = conv2dT(x[m], wf[1]) + conv2dT(x[m+1], wf[3]);
+        even/odd slabs are interleaved by a stack+reshape."""
+        b, d, h, wd, ci = x.shape
+        x2 = x.reshape(b * d, h, wd, ci).astype(dt)
+        ys = []
+        for kd in range(4):
+            o = jax.lax.conv_general_dilated(
+                x2,
+                wf[kd].astype(dt),
+                window_strides=(1, 1),
+                padding=((2, 2), (2, 2)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            ys.append(o.reshape(b, d, o.shape[1], o.shape[2], self.features))
+        z = jnp.zeros_like(ys[0][:, :1])
+        even = jnp.concatenate([z, ys[0][:, :-1]], axis=1) + ys[2]
+        odd = ys[1] + jnp.concatenate([ys[3][:, 1:], z], axis=1)
+        return jnp.stack([even, odd], axis=2).reshape(
+            b, 2 * d, even.shape[2], even.shape[3], self.features
+        )
 
 
 class Conv2x(nn.Module):
