@@ -36,13 +36,26 @@ def maybe_initialize_distributed(require: bool = False) -> bool:
     failure raises instead of falling back to single-process."""
     import os
 
-    if jax.process_count() > 1:
-        return True
+    # do NOT touch jax.process_count()/jax.devices() before initialize():
+    # they initialize the XLA backend, after which distributed bring-up
+    # is impossible (jax raises)
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     explicit = "COORDINATOR_ADDRESS" in os.environ
     if not (require or explicit):
         return False
+    kwargs = {}
+    if explicit:
+        # explicit bring-up contract: COORDINATOR_ADDRESS (+ NUM_PROCESSES
+        # and PROCESS_ID for backends without built-in cluster detection,
+        # e.g. multi-process CPU simulation; TPU pods derive both)
+        kwargs["coordinator_address"] = os.environ["COORDINATOR_ADDRESS"]
+        if "NUM_PROCESSES" in os.environ:
+            kwargs["num_processes"] = int(os.environ["NUM_PROCESSES"])
+        if "PROCESS_ID" in os.environ:
+            kwargs["process_id"] = int(os.environ["PROCESS_ID"])
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except Exception:
         if require:
             raise
