@@ -111,6 +111,10 @@ class LiifConfig:
     disparity_norm: str = "none"
 
     def __post_init__(self):
+        # coerce string spellings to the enum: dispatch sites compare with
+        # `is PosEncType.X`, which a bare string would silently fail,
+        # disabling the positional encoding without any error
+        object.__setattr__(self, "pos_enc", PosEncType(self.pos_enc))
         if self.quarter_nearest is True:  # legacy bool spelling
             object.__setattr__(self, "quarter_nearest", "only_disp")
         elif self.quarter_nearest is False or self.quarter_nearest is None:

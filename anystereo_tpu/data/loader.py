@@ -91,6 +91,11 @@ class PrefetchLoader:
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(idx)
         idx = idx[self.host_index :: self.host_count]
+        # truncate to the COMMON per-host length: with len(dataset) not
+        # divisible by host_count, earlier hosts would otherwise see one
+        # more sample per epoch, de-phasing the hosts' epoch counters and
+        # breaking the disjoint-slices-of-one-shuffle guarantee over time
+        idx = idx[: len(self.dataset) // self.host_count]
         n = (len(idx) // self.batch_size) * self.batch_size
         return idx[:n]
 

@@ -189,12 +189,26 @@ class Validator:
         key = (shape, q)
         if key not in self._fns:
             iters = self.valid_iters
+            # quarter_nearest samples the 4 nearest latents per query —
+            # incompatible with the separable dense-grid decode, so those
+            # configs evaluate through the query path (full coord grid)
+            use_queries = self.model.cfg.liif.quarter_nearest != "none"
 
             def f(params, left, right, ys, xs, scale):
-                out = self.model.apply(
-                    _as_variables(params), left, right, iters=iters,
-                    dense_grid=(ys, xs), scale=scale, mode="eval",
-                )
+                if use_queries:
+                    oh, ow = ys.shape[0], xs.shape[0]
+                    coords = jnp.stack(
+                        jnp.meshgrid(ys, xs, indexing="ij"), axis=-1
+                    ).reshape(1, oh * ow, 2)
+                    out = self.model.apply(
+                        _as_variables(params), left, right, iters=iters,
+                        coords=coords, scale=scale, mode="eval",
+                    )
+                else:
+                    out = self.model.apply(
+                        _as_variables(params), left, right, iters=iters,
+                        dense_grid=(ys, xs), scale=scale, mode="eval",
+                    )
                 return out.disp_final
 
             self._fns[key] = jax.jit(f)

@@ -453,12 +453,16 @@ def decoder_input_dim(cfg: LiifConfig, channel_list: Sequence[int]) -> int:
         dim += extra * n
     if cfg.quarter_nearest == "both":
         dim *= 4  # 4-nearest latent concat (liif.py:638-640)
-    if cfg.pos_enc is PosEncType.NONE or cfg.pos_dim == 0:
+    if cfg.pos_enc is PosEncType.NONE or (
+        cfg.pos_enc is PosEncType.SPATIAL and cfg.pos_dim == 0
+    ):
         pos = 2  # raw rel_coord
     elif cfg.pos_enc is PosEncType.SPATIAL:
         pos = cfg.pos_dim + 2  # [x, sin, cos] concat (liif.py:305-337)
     else:
-        pos = 8  # sinusoid/learn/dpb project to `head` channels (liif.py:215)
+        # sinusoid/learn/dpb/ipe project to `head` channels regardless of
+        # pos_dim (liif.py:215; _make_posenc uses max(pos_dim, 8))
+        pos = 8
     dim += pos * n
     if cfg.decode_cell:
         dim += 2 * n

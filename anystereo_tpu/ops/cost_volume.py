@@ -142,12 +142,23 @@ def build_gwc_and_corr(
     corr = None
     bands = []
     inv = jnp.float32(1.0 / cg)
+    # fp32 inputs must NOT take the default TPU path (operands truncated
+    # to bf16 passes) — the reference-regime eval and tiled_infer's
+    # exactness check run fp32 compute; match all_pairs_correlation's
+    # HIGHEST there.  bf16 inputs keep the native MXU path (products of
+    # bf16 values are exact in the fp32 accumulator either way).
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if fl.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     for g in range(num_groups):  # unrolled: G is small (8), keeps peak
         ap = jnp.einsum(  # memory at one [B,H,W,W] per step
             "bhwc,bhvc->bhwv",
             fl_g[..., g, :],
             fr_g[..., g, :],
             preferred_element_type=jnp.float32,
+            precision=prec,
         )
         corr = ap if corr is None else corr + ap
         bands.append(_band_from_all_pairs(ap, max_disp) * inv)

@@ -414,7 +414,7 @@ def _pyr_t_fwd_kernel(vol_ref, bases_ref, out_ref, *, length: int, taps: int,
         inv = jnp.float32(1.0 / (1 << lvl))
         base = bases_ref[lvl:lvl + 1, :]  # [1, P]
         i0 = jnp.floor(base)
-        frac = i0 - i0 + (base - i0)  # [1, P]
+        frac = base - i0  # [1, P]
         i0i = i0.astype(jnp.int32)
 
         def body(i, s):

@@ -21,6 +21,11 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # frozen-BatchNorm running statistics (reference regime): constant
+    # through training (the reference freezes every BN for the whole run,
+    # train_continuous_IGEV.py:203) but must ride along so apply() sees
+    # them and checkpoints carry them.  None for the GroupNorm default.
+    batch_stats: Any = None
 
     def apply_gradients(self, grads):
         updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
@@ -28,12 +33,15 @@ class TrainState(struct.PyTreeNode):
         return self.replace(step=self.step + 1, params=params, opt_state=opt_state)
 
 
-def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(
+    params, tx: optax.GradientTransformation, batch_stats=None
+) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         tx=tx,
+        batch_stats=batch_stats,
     )
 
 
@@ -42,7 +50,12 @@ def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
 # --------------------------------------------------------------------- #
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, keep: int = 5) -> None:
+def save_checkpoint(
+    ckpt_dir: str, state: TrainState, keep: int = 5, batch_stats=None
+) -> None:
+    """Full-state checkpoint.  Pass `batch_stats` when the model carries a
+    frozen-BatchNorm collection (reference regime) — eval from a trainer
+    checkpoint needs the running statistics, not model-init ones."""
     import orbax.checkpoint as ocp
     import os
 
@@ -50,13 +63,14 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, keep: int = 5) -> None:
     mngr = ocp.CheckpointManager(
         path, options=ocp.CheckpointManagerOptions(max_to_keep=keep)
     )
-    mngr.save(
-        int(state.step),
-        args=ocp.args.Composite(
-            params=ocp.args.StandardSave(state.params),
-            opt_state=ocp.args.StandardSave(state.opt_state),
-        ),
+    items = dict(
+        params=ocp.args.StandardSave(state.params),
+        opt_state=ocp.args.StandardSave(state.opt_state),
     )
+    stats = batch_stats if batch_stats is not None else state.batch_stats
+    if stats:
+        items["batch_stats"] = ocp.args.StandardSave(stats)
+    mngr.save(int(state.step), args=ocp.args.Composite(**items))
     mngr.wait_until_finished()
     mngr.close()
 
@@ -73,18 +87,21 @@ def restore_checkpoint(
     path = os.path.abspath(ckpt_dir)
     mngr = ocp.CheckpointManager(path)
     step = mngr.latest_step() if step is None else step
-    restored = mngr.restore(
-        step,
-        args=ocp.args.Composite(
-            params=ocp.args.StandardRestore(state.params),
-            opt_state=ocp.args.StandardRestore(state.opt_state),
-        ),
+    items = dict(
+        params=ocp.args.StandardRestore(state.params),
+        opt_state=ocp.args.StandardRestore(state.opt_state),
     )
+    if state.batch_stats is not None:
+        items["batch_stats"] = ocp.args.StandardRestore(state.batch_stats)
+    restored = mngr.restore(step, args=ocp.args.Composite(**items))
     mngr.close()
     return state.replace(
         step=jnp.asarray(step, jnp.int32),
         params=restored["params"],
         opt_state=restored["opt_state"],
+        batch_stats=restored["batch_stats"]
+        if state.batch_stats is not None
+        else None,
     )
 
 
@@ -110,7 +127,21 @@ def restore_eval_variables(ckpt_dir: str, variables, step: Optional[int] = None)
             )["batch_stats"]
             mngr.close()
             out["batch_stats"] = restored
-        except Exception:
+        except Exception as e:
+            # trainer checkpoints carry params+opt_state only — falling
+            # back to model-init batch_stats is WRONG for frozen-BN eval
+            # (mean=0/var=1 normalizes with garbage).  Never do it
+            # silently: the caller must know these metrics are suspect.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "checkpoint %s has no restorable batch_stats (%s); using "
+                "model-init statistics — FROZEN_BATCH eval metrics will "
+                "be meaningless unless the backbone was converted with "
+                "its running stats",
+                ckpt_dir,
+                e,
+            )
             out["batch_stats"] = variables["batch_stats"]
     return out
 

@@ -40,8 +40,13 @@ def make_train_step(
 
     def step(state: TrainState, batch: Dict):
         def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                # frozen-BN statistics: constant (never updated), but the
+                # collection must be present for apply (reference regime)
+                variables["batch_stats"] = state.batch_stats
             out = model.apply(
-                {"params": params},
+                variables,
                 batch["left"],
                 batch["right"],
                 iters=tcfg.train_iters,

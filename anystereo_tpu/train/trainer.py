@@ -107,7 +107,9 @@ def train(
             cfg.train.grad_clip,
             cfg.train.warmup_frac,
         )
-        state = create_train_state(variables["params"], tx)
+        state = create_train_state(
+            variables["params"], tx, batch_stats=variables.get("batch_stats")
+        )
         # auto-resume: full state (params + optimizer + schedule position) —
         # the reference restores weights only and restarts its schedule
         # (SURVEY §5); here resume continues exactly where it stopped.

@@ -346,3 +346,18 @@ class TestGrainLoader:
         ds = _synthetic_dataset(tmp_path)
         with pytest.raises(ValueError):
             GrainLoader(ds, 2, host_index=2, host_count=2)
+
+
+class TestHostCommonLength:
+    def test_unequal_division_truncates_to_common_length(self, tmp_path):
+        """len(dataset) not divisible by host_count: every host must see
+        the SAME number of samples per epoch, or epoch counters de-phase
+        and the disjoint-slices guarantee breaks across epochs."""
+        ds = _synthetic_dataset(tmp_path, n=5)  # odd: 5 // 2 hosts
+        n = len(ds)
+        assert n % 2 == 1
+        h0 = PrefetchLoader(ds, 1, seed=3, host_index=0, host_count=2)
+        h1 = PrefetchLoader(ds, 1, seed=3, host_index=1, host_count=2)
+        i0, i1 = h0._epoch_indices(0), h1._epoch_indices(0)
+        assert len(i0) == len(i1) == n // 2
+        assert not set(i0.tolist()) & set(i1.tolist())

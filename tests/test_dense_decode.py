@@ -79,3 +79,40 @@ class TestDenseGridBookkeeping:
             np.meshgrid(np.asarray(ys), np.asarray(xs), indexing="ij"), axis=-1
         ).reshape(1, -1, 2)
         np.testing.assert_allclose(grid, np.asarray(coords), atol=1e-5)
+
+
+class TestDecoderInputDim:
+    @pytest.mark.parametrize("kw", [
+        dict(),
+        dict(pos_enc="sinusoid", pos_dim=0),   # encoder still emits 8ch
+        dict(pos_enc="ipe", pos_dim=16),
+        dict(pos_enc="spatial", pos_dim=24),
+        dict(decode_cell=True),
+        dict(quarter_nearest="both"),
+    ])
+    def test_matches_built_mlp_width(self, kw):
+        """decoder_input_dim (the liif.py:597-642 bookkeeping twin) must
+        agree with the width flax actually builds for the decoder MLP."""
+        import jax
+        import numpy as np
+
+        from anystereo_tpu.config import LiifConfig
+        from anystereo_tpu.nn.liif import LiifDecoder, decoder_input_dim
+
+        cfg = LiifConfig(**kw)
+        dec = LiifDecoder(cfg)
+        rng = np.random.RandomState(0)
+        feats = [
+            jnp.asarray(rng.rand(1, 16, 24, 12).astype(np.float32)),
+            jnp.asarray(rng.rand(1, 8, 12, 20).astype(np.float32)),
+        ]
+        coords = jnp.asarray(
+            (rng.rand(1, 32, 2).astype(np.float32) * 2 - 1) * 0.9
+        )
+        scale = jnp.asarray([1.5], np.float32)
+        variables = dec.init(
+            jax.random.PRNGKey(0), feats, coords=coords, scale=scale
+        )
+        built = variables["params"]["imnet"]["Dense_0"]["kernel"].shape[0]
+        want = decoder_input_dim(cfg, [12, 20])
+        assert built == want, (built, want)

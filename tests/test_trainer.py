@@ -76,3 +76,41 @@ class TestTrainerLoop:
         assert int(s1.step) == 2
         s2 = train(cfg, _SyntheticLoader(), max_steps=4)  # resumes at 2
         assert int(s2.step) == 4
+
+
+class TestFrozenBatchRegime:
+    def test_trains_and_checkpoints_batch_stats(self, tmp_path):
+        """Reference-regime (FROZEN_BATCH) models carry a batch_stats
+        collection: the trainer must thread it through apply, the
+        checkpoint must round-trip it, and resume must restore it (the
+        running statistics come from converted torch backbones and are
+        never updated)."""
+        from anystereo_tpu.config import NormType
+        from anystereo_tpu.train.state import restore_checkpoint
+
+        cfg = Config(
+            model=ModelConfig(max_disp=32, norm_2d=NormType.FROZEN_BATCH),
+            train=TrainConfig(
+                train_iters=1, batch_size=1, lr=1e-4, num_steps=2,
+                ckpt_every=2, ckpt_dir=str(tmp_path / "ckpt"),
+            ),
+        )
+        state = train(cfg, _SyntheticLoader(n=4), max_steps=2)
+        assert state.batch_stats is not None
+        leaves = jax.tree_util.tree_leaves(state.batch_stats)
+        assert leaves, "frozen-BN model produced empty batch_stats"
+
+        # round-trip through the checkpoint into a fresh state
+        import optax
+
+        fresh = state.replace(
+            step=state.step * 0,
+            batch_stats=jax.tree_util.tree_map(
+                lambda x: np.zeros_like(x), state.batch_stats
+            ),
+        )
+        restored = restore_checkpoint(cfg.train.ckpt_dir, fresh)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored.batch_stats), leaves
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

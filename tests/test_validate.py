@@ -278,3 +278,33 @@ class TestTrainValidateHook:
         results = fn(SimpleNamespace(params=variables["params"]), step=10)
         assert "epe_all" in results or any("epe" in k for k in results), results
         assert all(np.isfinite(v) for v in results.values())
+
+
+class TestQuarterNearestValidation:
+    def test_validator_falls_back_to_query_path(self, tmp_path):
+        """quarter_nearest models cannot use the separable dense-grid
+        decode; the Validator must route them through the query path so
+        the standard eval tooling works for every live config."""
+        from tests.test_data import _synthetic_dataset
+        from anystereo_tpu.config import LiifConfig
+        from anystereo_tpu.eval.validate import Validator, pad_for_queries
+
+        ds = _synthetic_dataset(tmp_path, n=1, h=44, w=72)
+        ds.augmentor = None
+        cfg = ModelConfig(
+            max_disp=32, liif=LiifConfig(quarter_nearest="only_disp")
+        )
+        model = AnyStereo(cfg)
+        img1, img2, _, _ = ds._load_raw(0)
+        lp, rp, coords, s = pad_for_queries(
+            img1[None].astype(np.float32), img2[None].astype(np.float32),
+            1.0, 32,
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), lp, rp, iters=1, coords=coords,
+            scale=jnp.asarray([s]),
+        )
+        v = Validator(model, variables["params"], valid_iters=2)
+        disp = v.infer(img1.astype(np.float32), img2.astype(np.float32))
+        assert disp.shape == img1.shape[:2]
+        assert np.isfinite(disp).all()
