@@ -152,17 +152,25 @@ def build_gwc_and_corr(
         if fl.dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    for g in range(num_groups):  # unrolled: G is small (8), keeps peak
-        ap = jnp.einsum(  # memory at one [B,H,W,W] per step
+    del corr, bands
+    fl_s = jnp.moveaxis(fl_g, 3, 0)  # [G, B, H, W, cg]
+    fr_s = jnp.moveaxis(fr_g, 3, 0)
+
+    def step(acc, fg):  # lax.scan: O(1) program in G, one [B,H,W,W] live
+        flg, frg = fg
+        ap = jnp.einsum(
             "bhwc,bhvc->bhwv",
-            fl_g[..., g, :],
-            fr_g[..., g, :],
+            flg,
+            frg,
             preferred_element_type=jnp.float32,
             precision=prec,
         )
-        corr = ap if corr is None else corr + ap
-        bands.append(_band_from_all_pairs(ap, max_disp) * inv)
-    gwc = jnp.stack(bands, axis=-2)  # [B, H, W, G, D]
+        return acc + ap, _band_from_all_pairs(ap, max_disp) * inv
+
+    corr, bands = jax.lax.scan(
+        step, jnp.zeros((b, h, w, w), jnp.float32), (fl_s, fr_s)
+    )
+    gwc = jnp.moveaxis(bands, 0, -2)  # [B, H, W, G, D]
     return gwc, corr
 
 
