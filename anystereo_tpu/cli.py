@@ -63,6 +63,9 @@ def cmd_train(argv):
     p.add_argument("--supervise-init", action="store_true")
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--loader", choices=["prefetch", "grain"], default="prefetch",
+                   help="'grain' = deterministic checkpointable input "
+                        "pipeline (data/grain_loader.py)")
     # in-training held-out validation every --ckpt-every steps (the
     # reference validates every valid_fre, train_continuous_IGEV.py:242-264)
     p.add_argument("--val-dataset", default=None,
@@ -113,10 +116,18 @@ def cmd_train(argv):
         scale_min=args.scale_min, scale_max=args.scale_max,
         inp_size=tuple(args.inp_size),
     )
-    loader = PrefetchLoader(
-        dataset, cfg.train.batch_size, num_workers=args.num_workers,
-        seed=cfg.train.seed,
-    )
+    if args.loader == "grain":
+        from anystereo_tpu.data.grain_loader import GrainLoader
+
+        loader = GrainLoader(
+            dataset, cfg.train.batch_size, num_workers=args.num_workers,
+            seed=cfg.train.seed,
+        )
+    else:
+        loader = PrefetchLoader(
+            dataset, cfg.train.batch_size, num_workers=args.num_workers,
+            seed=cfg.train.seed,
+        )
     validate_fn = None
     if args.val_dataset is not None:
         from anystereo_tpu.eval.validate import make_train_validate_fn
