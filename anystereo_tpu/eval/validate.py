@@ -385,10 +385,18 @@ def run_validation(
         sample1[None].astype(np.float32), sample2[None].astype(np.float32),
         scale_test, 32,
     )
+    if model_cfg.liif.quarter_nearest != "none":
+        # quarter_nearest decodes through the query path (see Validator._fn)
+        coords = jnp.stack(
+            jnp.meshgrid(ys, xs, indexing="ij"), axis=-1
+        ).reshape(1, ys.shape[0] * xs.shape[0], 2)
+        decode_kw = dict(coords=coords)
+    else:
+        decode_kw = dict(dense_grid=(ys, xs))
     variables = jax.jit(
         lambda k: model.init(
-            k, lp, rp, iters=1, dense_grid=(ys, xs), scale=jnp.asarray([s]),
-            mode="eval",
+            k, lp, rp, iters=1, scale=jnp.asarray([s]), mode="eval",
+            **decode_kw,
         )
     )(jax.random.PRNGKey(0))
     eval_vars = restore_eval_variables(ckpt_dir, variables)
