@@ -27,7 +27,37 @@ import numpy as np
 BASELINE_PAIRS_PER_SEC = 2.7  # IGEV-Stereo paper, KITTI res, RTX 3090
 
 
+def _check_device_reachable(timeout_s: float = 180.0):
+    """Fail fast (rc 3) if the TPU is unreachable: a dead axon tunnel
+    otherwise hangs the first dispatch forever, which reads as a driver
+    timeout instead of an infrastructure error."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        jax.jit(lambda a: a * 2)(jnp.ones(4)).block_until_ready()
+        np.asarray(jax.jit(lambda a: a + 1)(jnp.ones(2)))
+        ok.set()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not ok.is_set():
+        print(
+            f"bench: TPU unreachable (device probe did not complete in "
+            f"{timeout_s:.0f}s — axon tunnel down?)",
+            file=sys.stderr,
+        )
+        raise SystemExit(3)
+
+
 def main():
+    _check_device_reachable()
+
     import jax
     import jax.numpy as jnp
 
