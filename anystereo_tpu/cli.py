@@ -61,6 +61,11 @@ def cmd_train(argv):
     p.add_argument("--scale-min", type=float, default=1.0)
     p.add_argument("--scale-max", type=float, default=2.95)
     p.add_argument("--supervise-init", action="store_true")
+    p.add_argument("--restore", default=None,
+                   help="checkpoint dir to warm-start weights from (the "
+                        "reference's --restore_ckpt fine-tune flow: filtered "
+                        "params-only load, fresh schedule); converted torch "
+                        "checkpoints (tools/convert_checkpoint.py) work")
     p.add_argument("--ckpt-dir", default="checkpoints")
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--loader", choices=["prefetch", "grain"], default="prefetch",
@@ -140,7 +145,7 @@ def cmd_train(argv):
             valid_iters=args.valid_iters,
             max_images=args.val_max_images,
         )
-    train(cfg, loader, validate_fn=validate_fn)
+    train(cfg, loader, validate_fn=validate_fn, warm_start=args.restore)
 
 
 def cmd_evaluate(argv):

@@ -145,6 +145,10 @@ class ModelConfig:
     # wired here as a real variant).  SepConvGRU has no context-bias form,
     # so the precomputed context gates are unused under "sep".
     gru_type: str = "conv"
+    # Fuse the ConvGRU z/r gate convs (shared input hx) into one conv with
+    # concatenated output channels: same params, same numbers, one im2col
+    # read of hx and one wider MXU matmul per cell instead of two.
+    fuse_gru_gates: bool = False
     gwc_groups: int = 8
     fnet_dim: int = 256  # RAFT matching-feature dim
     liif: LiifConfig = dataclasses.field(default_factory=LiifConfig)

@@ -114,7 +114,7 @@ class AnyStereo(nn.Module):
         ]
         self.update_block = BasicMultiUpdateBlock(
             hidden_dims=cfg.hidden_dims, n_layers=cfg.n_gru_layers,
-            gru_type=cfg.gru_type, dtype=dt
+            gru_type=cfg.gru_type, fuse_zr=cfg.fuse_gru_gates, dtype=dt
         )
         self.liif = LiifDecoder(cfg.liif, dtype=dt)
 

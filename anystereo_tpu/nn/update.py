@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -25,21 +26,63 @@ def _conv3(features, dtype, name=None):
     )
 
 
+class _Conv3Params(nn.Module):
+    """Parameter holder with nn.Conv's exact tree layout ({kernel, bias} at
+    this module's scope) and init distributions, for gate convs whose
+    kernels are concatenated at apply time (see ConvGRU.fuse_zr)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class ConvGRU(nn.Module):
     """update.py:26-41.  Context gate biases (cz, cr, cq) are precomputed
     once outside the GRU loop (continuous_IGEVstereo.py:103,273) and added
-    inside the sigmoid/tanh."""
+    inside the sigmoid/tanh.
+
+    fuse_zr: compute the z and r gates (which share the input hx) as ONE
+    conv with concatenated output channels — one im2col read of hx and one
+    wider MXU matmul instead of two.  Param tree and numerics are identical
+    to the unfused form (convolution is independent per output channel);
+    only the schedule changes."""
 
     hidden_dim: int
     dtype: Optional[Dtype] = None
+    fuse_zr: bool = False
 
     @nn.compact
     def __call__(self, h, context, *inputs):
         cz, cr, cq = context
         x = jnp.concatenate(list(inputs), axis=-1)
         hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(_conv3(self.hidden_dim, self.dtype, "convz")(hx) + cz)
-        r = nn.sigmoid(_conv3(self.hidden_dim, self.dtype, "convr")(hx) + cr)
+        if self.fuse_zr:
+            kz, bz = _Conv3Params(self.hidden_dim, name="convz")(hx.shape[-1])
+            kr, br = _Conv3Params(self.hidden_dim, name="convr")(hx.shape[-1])
+            dt = hx.dtype if self.dtype is None else self.dtype
+            zr = jax.lax.conv_general_dilated(
+                hx.astype(dt),
+                jnp.concatenate([kz, kr], axis=-1).astype(dt),
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.concatenate([bz, br]).astype(dt)
+            z_pre, r_pre = jnp.split(zr, 2, axis=-1)
+            z = nn.sigmoid(z_pre + cz)
+            r = nn.sigmoid(r_pre + cr)
+        else:
+            z = nn.sigmoid(_conv3(self.hidden_dim, self.dtype, "convz")(hx) + cz)
+            r = nn.sigmoid(_conv3(self.hidden_dim, self.dtype, "convr")(hx) + cr)
         q = jnp.tanh(
             _conv3(self.hidden_dim, self.dtype, "convq")(
                 jnp.concatenate([r * h, x], axis=-1)
@@ -129,6 +172,7 @@ class BasicMultiUpdateBlock(nn.Module):
     hidden_dims: Sequence[int] = (128, 128, 128)  # indexed [2]=1/4 as in ref
     n_layers: int = 3
     gru_type: str = "conv"  # "conv" | "sep" (SepConvGRU, no context gates)
+    fuse_zr: bool = False  # fused z/r gate conv (numerics-identical)
     dtype: Optional[Dtype] = None
 
     def _gru(self, hidden_dim, name):
@@ -138,7 +182,7 @@ class BasicMultiUpdateBlock(nn.Module):
         if self.gru_type == "sep":
             cell = SepConvGRU(hidden_dim, self.dtype, name=name)
             return lambda h, context, *inputs: cell(h, *inputs)
-        return ConvGRU(hidden_dim, self.dtype, name=name)
+        return ConvGRU(hidden_dim, self.dtype, fuse_zr=self.fuse_zr, name=name)
 
     @nn.compact
     def __call__(

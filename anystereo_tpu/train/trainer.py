@@ -71,10 +71,19 @@ def train(
     validate_fn: Optional[Callable[[TrainState, int], Dict[str, float]]] = None,
     state: Optional[TrainState] = None,
     max_steps: Optional[int] = None,
+    warm_start: Optional[str] = None,
 ) -> TrainState:
     """Run the training loop.  `loader` yields numpy batches with the
     make_train_step contract; `validate_fn(state, step)` runs held-out
-    validation (the in-training validate_* of SURVEY §2.7)."""
+    validation (the in-training validate_* of SURVEY §2.7).
+
+    `warm_start`: checkpoint directory to load model weights from before
+    training starts — the reference's --restore_ckpt fine-tune flow
+    (filtered params-only load, schedule starts fresh at step 0,
+    train_continuous_IGEV.py:192-200).  A converted torch checkpoint
+    (tools/convert_checkpoint.py) works here.  Full-state auto-resume from
+    cfg.train.ckpt_dir still takes precedence when that directory already
+    holds steps."""
     model = AnyStereo(cfg.model)
     use_mesh = cfg.mesh.data * max(cfg.mesh.spatial, 1) > 1
     mesh = make_mesh(cfg.mesh) if use_mesh and jax.device_count() > 1 else None
@@ -107,6 +116,12 @@ def train(
             cfg.train.grad_clip,
             cfg.train.warmup_frac,
         )
+        if warm_start is not None:
+            from anystereo_tpu.train.state import restore_eval_variables
+
+            loaded = restore_eval_variables(warm_start, variables)
+            variables = {**variables, **loaded}
+            log.info("warm-started weights from %s", warm_start)
         state = create_train_state(
             variables["params"], tx, batch_stats=variables.get("batch_stats")
         )

@@ -77,6 +77,51 @@ class TestTrainerLoop:
         s2 = train(cfg, _SyntheticLoader(), max_steps=4)  # resumes at 2
         assert int(s2.step) == 4
 
+    def test_warm_start_loads_weights_fresh_schedule(self, tmp_path):
+        """The reference's --restore_ckpt fine-tune flow
+        (train_continuous_IGEV.py:192-200): weights come from a previous
+        run's checkpoint, the step counter and optimizer start fresh."""
+        cfg1 = Config(
+            model=ModelConfig(max_disp=32),
+            train=TrainConfig(
+                train_iters=1, batch_size=1, lr=1e-4, num_steps=2,
+                ckpt_every=2, ckpt_dir=str(tmp_path / "pretrain"),
+            ),
+        )
+        s1 = train(cfg1, _SyntheticLoader(), max_steps=2)
+        assert int(s1.step) == 2
+
+        # different seed: a cold init would differ from the donor by O(0.1),
+        # so post-step closeness below discriminates loaded vs not-loaded
+        cfg2 = Config(
+            model=ModelConfig(max_disp=32),
+            train=TrainConfig(
+                train_iters=1, batch_size=1, lr=1e-4, num_steps=2,
+                ckpt_every=2, ckpt_dir=str(tmp_path / "finetune"), seed=999,
+            ),
+        )
+        s2 = train(
+            cfg2,
+            _SyntheticLoader(),
+            max_steps=1,
+            warm_start=str(tmp_path / "pretrain"),
+        )
+        # fresh schedule: one step taken from step 0, not resumed at 2
+        assert int(s2.step) == 1
+        # weights came from the donor: one lr=1e-4 step moves params ~1e-4,
+        # while a (seed-999) cold init differs from the donor by O(0.1)
+        from anystereo_tpu.train.state import restore_params_only
+
+        donor = restore_params_only(str(tmp_path / "pretrain"), s2.params)
+        diffs = [
+            float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(donor),
+                jax.tree_util.tree_leaves(s2.params),
+            )
+        ]
+        assert max(diffs) < 0.01, "warm-started params diverged: not loaded?"
+
 
 class TestFrozenBatchRegime:
     def test_trains_and_checkpoints_batch_stats(self, tmp_path):

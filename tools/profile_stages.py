@@ -1,0 +1,177 @@
+"""Per-stage on-chip profile of the flagship eval forward.
+
+Attributes the bench latency (bench.py protocol: IGEV eval, 384x1248,
+32 GRU iterations, max_disp 192) to pipeline stages, using the two
+measurement rules from docs/PERF.md:
+
+  * all timings are pipelined device time via K-vs-1 scan differencing
+    (the dev tunnel's ~30 ms RTT and ~70 ms output transfer cancel);
+  * the per-iteration cost is the slope of latency vs GRU iteration
+    count; the intercept is the one-time cost.
+
+Stage ablation: partial forwards are jitted through `model.apply(...,
+method=...)` so each timing runs exactly the submodules it names —
+matching features (+stems), cost stage (GWC + hourglass + init disp),
+context encoder, the GRU scan, and the final dense LIIF decode.
+
+Usage:  python tools/profile_stages.py [--h 384 --w 1248 --iters 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _timed(fn, n=2):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--h", type=int, default=384)
+    ap.add_argument("--w", type=int, default=1248)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--k", type=int, default=6, help="chain length for differencing")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from anystereo_tpu.config import ModelConfig
+    from anystereo_tpu.nn.model import AnyStereo
+    from anystereo_tpu.utils.jax_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    cfg = ModelConfig()
+    model = AnyStereo(cfg)
+    b, h, w = 1, args.h, args.w
+    rng = np.random.RandomState(0)
+    left = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+    right = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+
+    variables = jax.jit(
+        lambda k, l, r: model.init(k, l, r, iters=1, mode="eval")
+    )(jax.random.PRNGKey(0), left, right)
+    jax.block_until_ready(variables)
+
+    # ---- stage methods (mirrors of __call__'s eval path) ----------------- #
+
+    def norm(mdl, l, r):
+        dt = mdl._dt
+        return (2.0 * (l / 255.0) - 1.0).astype(dt), (2.0 * (r / 255.0) - 1.0).astype(dt)
+
+    def m_matching(mdl, l, r):
+        l, r = norm(mdl, l, r)
+        return mdl._matching(l, r)
+
+    def m_cost(mdl, l, r):
+        l, r = norm(mdl, l, r)
+        match_l, match_r, feats_l, stems = mdl._matching(l, r)
+        pyr, init_disp = mdl._cost_stage(match_l, match_r, feats_l)
+        return pyr, init_disp
+
+    def m_context(mdl, l, r):
+        l, r = norm(mdl, l, r)
+        return mdl._context(l)
+
+    def m_to_lowres(iters):
+        def f(mdl, l, r):
+            out = mdl(l, r, iters=iters, mode="eval")
+            return out.disp_lowres
+
+        return f
+
+    def m_full(iters):
+        def f(mdl, l, r):
+            return mdl(l, r, iters=iters, mode="eval").disp_final
+
+        return f
+
+    # ---- differencing harness -------------------------------------------- #
+
+    def chain(method, n):
+        """n sequential applications serialized through a carry perturbation."""
+
+        def run(v, l, r):
+            def body(c, _):
+                outs = model.apply(v, l + c, r + c, method=method)
+                s = sum(
+                    jnp.sum(x.astype(jnp.float32) * 1e-20)
+                    for x in jax.tree_util.tree_leaves(outs)
+                )
+                return c + s, ()
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+
+        return jax.jit(run)
+
+    k = args.k
+
+    def dev_time(method, label):
+        f1 = chain(method, 1)
+        fk = chain(method, k)
+        t0 = time.time()
+        np.asarray(f1(variables, left, right))
+        c1 = time.time() - t0
+        t0 = time.time()
+        np.asarray(fk(variables, left, right))
+        ck = time.time() - t0
+        t1 = _timed(lambda: np.asarray(f1(variables, left, right)))
+        tk = _timed(lambda: np.asarray(fk(variables, left, right)))
+        per = (tk - t1) / (k - 1)
+        print(
+            f"{label:32s} {per * 1000:9.2f} ms   (compile {c1 + ck:6.1f} s)",
+            flush=True,
+        )
+        return per
+
+    results = {}
+    results["matching"] = dev_time(m_matching, "matching features + stems")
+    results["matching+cost"] = dev_time(m_cost, "  + cost stage (GWC/hourglass)")
+    results["context"] = dev_time(m_context, "context encoder + gates")
+    it_lo, it_hi = max(1, args.iters // 4), args.iters
+    results[f"lowres@{it_lo}"] = dev_time(
+        m_to_lowres(it_lo), f"fwd to lowres disp, {it_lo} iters"
+    )
+    results[f"lowres@{it_hi}"] = dev_time(
+        m_to_lowres(it_hi), f"fwd to lowres disp, {it_hi} iters"
+    )
+    results[f"full@{it_hi}"] = dev_time(m_full(it_hi), f"full fwd + decode, {it_hi} iters")
+
+    per_iter = (results[f"lowres@{it_hi}"] - results[f"lowres@{it_lo}"]) / (
+        it_hi - it_lo
+    )
+    one_time = results[f"lowres@{it_lo}"] - it_lo * per_iter
+    decode = results[f"full@{it_hi}"] - results[f"lowres@{it_hi}"]
+    cost_only = results["matching+cost"] - results["matching"]
+    summary = {
+        "config": f"IGEV eval {h}x{w} iters={it_hi} maxdisp={cfg.max_disp}",
+        "per_iter_ms": round(per_iter * 1000, 3),
+        "one_time_ms": round(one_time * 1000, 2),
+        "decode_ms": round(decode * 1000, 2),
+        "matching_ms": round(results["matching"] * 1000, 2),
+        "cost_stage_ms": round(cost_only * 1000, 2),
+        "context_ms": round(results["context"] * 1000, 2),
+        "full_ms": round(results[f"full@{it_hi}"] * 1000, 2),
+        "pairs_per_sec": round(1.0 / results[f"full@{it_hi}"], 3),
+    }
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
