@@ -45,9 +45,16 @@ def main():
     ap.add_argument("--w", type=int, default=1248)
     ap.add_argument("--iters", type=int, default=32)
     ap.add_argument("--k", type=int, default=6, help="chain length for differencing")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu for CI dry-runs; the "
+                         "JAX_PLATFORMS env var is overridden by the axon site "
+                         "hook, only jax.config works)")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from anystereo_tpu.config import ModelConfig
