@@ -69,7 +69,14 @@ class ConvGRU(nn.Module):
         if self.fuse_zr:
             kz, bz = _Conv3Params(self.hidden_dim, name="convz")(hx.shape[-1])
             kr, br = _Conv3Params(self.hidden_dim, name="convr")(hx.shape[-1])
-            dt = hx.dtype if self.dtype is None else self.dtype
+            # dtype=None must match nn.Conv's promote-to-common semantics
+            # (input and fp32 params promote, i.e. fp32 compute for bf16
+            # activations) — NOT downcast the params to the input dtype.
+            dt = (
+                jnp.promote_types(hx.dtype, kz.dtype)
+                if self.dtype is None
+                else self.dtype
+            )
             zr = jax.lax.conv_general_dilated(
                 hx.astype(dt),
                 jnp.concatenate([kz, kr], axis=-1).astype(dt),

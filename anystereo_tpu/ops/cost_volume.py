@@ -139,8 +139,6 @@ def build_gwc_and_corr(
         )
     fl_g = fl.reshape(b, h, w, num_groups, cg)
     fr_g = fr.reshape(b, h, w, num_groups, cg)
-    corr = None
-    bands = []
     inv = jnp.float32(1.0 / cg)
     # fp32 inputs must NOT take the default TPU path (operands truncated
     # to bf16 passes) — the reference-regime eval and tiled_infer's
@@ -152,7 +150,6 @@ def build_gwc_and_corr(
         if fl.dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    del corr, bands
     fl_s = jnp.moveaxis(fl_g, 3, 0)  # [G, B, H, W, cg]
     fr_s = jnp.moveaxis(fr_g, 3, 0)
 

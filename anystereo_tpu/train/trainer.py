@@ -65,6 +65,34 @@ class MetricLogger:
             self.running, self.count = {}, 0
 
 
+def _loader_state_path(ckpt_dir: str, step: int) -> str:
+    """Sidecar file carrying the grain iterator state for `step` (per-host:
+    each process owns its shard's iteration order)."""
+    import os
+
+    pid = jax.process_index()
+    return os.path.join(ckpt_dir, f"loader_state-{step}-p{pid}.bin")
+
+
+def _save_loader_state(ckpt_dir: str, state: TrainState, it) -> None:
+    """Persist the checkpointable iterator state next to the orbax step,
+    pruning sidecars whose checkpoint step was garbage-collected."""
+    import glob
+    import os
+
+    step = int(state.step)
+    st = it.get_state()
+    if isinstance(st, str):
+        st = st.encode()
+    with open(_loader_state_path(ckpt_dir, step), "wb") as f:
+        f.write(st)
+    kept = {e.name for e in os.scandir(ckpt_dir) if e.name.isdigit()}
+    for p in glob.glob(os.path.join(ckpt_dir, "loader_state-*.bin")):
+        s = os.path.basename(p).split("-")[1]
+        if s not in kept and s != str(step):
+            os.remove(p)
+
+
 def train(
     cfg: Config,
     loader,
@@ -90,7 +118,18 @@ def train(
 
     from anystereo_tpu.data.loader import device_prefetch
 
-    it = device_prefetch(iter(loader)) if mesh is None else iter(loader)
+    raw_it = iter(loader)
+    # A checkpointable iterator (grain: get_state/set_state) is consumed
+    # directly — device_prefetch would run it ahead of the train loop and
+    # make the saved state off by the prefetch depth.
+    ckptable_loader = hasattr(raw_it, "get_state") and hasattr(
+        raw_it, "set_state"
+    )
+    it = (
+        raw_it
+        if (ckptable_loader or mesh is not None)
+        else device_prefetch(raw_it)
+    )
     first = next(it)
 
     if state is None:
@@ -116,27 +155,74 @@ def train(
             cfg.train.grad_clip,
             cfg.train.warmup_frac,
         )
-        if warm_start is not None:
-            from anystereo_tpu.train.state import restore_eval_variables
+        import os
 
-            loaded = restore_eval_variables(warm_start, variables)
-            variables = {**variables, **loaded}
-            log.info("warm-started weights from %s", warm_start)
+        def _has_steps(d: str) -> bool:
+            return os.path.isdir(d) and any(
+                e.name.isdigit() for e in os.scandir(d)
+            )
+
+        resume_available = _has_steps(cfg.train.ckpt_dir)
+        if warm_start is not None:
+            # Fail clearly on a typo'd/empty directory before paying the
+            # orbax deep-restore error, and refuse the silent-no-op trap
+            # where auto-resume from the SAME directory would immediately
+            # override the warm start (the reference's --restore_ckpt
+            # fine-tune flow needs a fresh ckpt_dir).
+            if not _has_steps(warm_start):
+                raise ValueError(
+                    f"--restore directory {warm_start!r} has no checkpoint "
+                    "steps (expected numbered orbax step subdirectories)"
+                )
+            if os.path.abspath(warm_start) == os.path.abspath(
+                cfg.train.ckpt_dir
+            ):
+                raise ValueError(
+                    f"--restore and ckpt_dir are the same directory "
+                    f"({warm_start!r}): auto-resume would restore the full "
+                    "donor state over the warm start and run the schedule "
+                    "from the donor's step — pass a fresh --ckpt-dir for "
+                    "fine-tunes"
+                )
+            if resume_available:
+                log.warning(
+                    "ckpt_dir %s already holds checkpoint steps — "
+                    "auto-resume takes precedence and the warm start from "
+                    "%s is DISCARDED (expected when resuming a preempted "
+                    "fine-tune; otherwise pass a fresh --ckpt-dir)",
+                    cfg.train.ckpt_dir,
+                    warm_start,
+                )
+            else:
+                from anystereo_tpu.train.state import restore_eval_variables
+
+                loaded = restore_eval_variables(warm_start, variables)
+                variables = {**variables, **loaded}
+                log.info("warm-started weights from %s", warm_start)
         state = create_train_state(
             variables["params"], tx, batch_stats=variables.get("batch_stats")
         )
         # auto-resume: full state (params + optimizer + schedule position) —
         # the reference restores weights only and restarts its schedule
         # (SURVEY §5); here resume continues exactly where it stopped.
-        import os
-
         from anystereo_tpu.train.state import restore_checkpoint
 
-        if os.path.isdir(cfg.train.ckpt_dir) and any(
-            e.name.isdigit() for e in os.scandir(cfg.train.ckpt_dir)
-        ):
+        if resume_available:
             state = restore_checkpoint(cfg.train.ckpt_dir, state)
             log.info("resumed from step %d", int(state.step))
+            if ckptable_loader:
+                lp = _loader_state_path(cfg.train.ckpt_dir, int(state.step))
+                if os.path.exists(lp):
+                    with open(lp, "rb") as f:
+                        raw_it.set_state(f.read())
+                    first = next(it)  # refetch in the restored order
+                    log.info("restored loader state from %s", lp)
+                else:
+                    log.warning(
+                        "no loader state saved for step %d — the data "
+                        "order restarts from epoch 0 on this resume",
+                        int(state.step),
+                    )
     if mesh is not None:
         state = jax.device_put(state, replicated(mesh))
 
@@ -176,6 +262,8 @@ def train(
             except Exception:
                 log.exception("step %d failed — saving emergency checkpoint", i)
                 save_checkpoint(cfg.train.ckpt_dir, state)
+                if ckptable_loader:
+                    _save_loader_state(cfg.train.ckpt_dir, state, raw_it)
                 raise
             logger.push(int(i), metrics)
             if (i + 1) % cfg.train.ckpt_every == 0 or i + 1 == total or (
@@ -183,6 +271,8 @@ def train(
             ):
                 jax.block_until_ready(state.params)
                 save_checkpoint(cfg.train.ckpt_dir, state)
+                if ckptable_loader:
+                    _save_loader_state(cfg.train.ckpt_dir, state, raw_it)
                 if validate_fn is not None and not stop_requested["flag"]:
                     results = validate_fn(state, i + 1)
                     log.info("validation @%d: %s", i + 1, results)

@@ -52,6 +52,60 @@ def device_timer(fn: Callable, *args, n: int = 3, warmup: int = 1) -> float:
     return float(np.median(times))
 
 
+def pipelined_per_call(apply_fn, args, k: int = 6, reps: int = 2):
+    """Steady-state device seconds per call via K-vs-1 scan differencing —
+    the canonical timing harness shared by bench.py and
+    tools/profile_stages.py (measurement rules in docs/PERF.md).
+
+    `apply_fn(c, *args)` runs one application with the scalar fp32 carry
+    perturbation `c` folded into its inputs (so XLA cannot collapse or
+    parallelize the scan repetitions) and returns any pytree.  K
+    applications are chained through the carry; the K-vs-1 timing
+    difference cancels both the dev tunnel's RTT and the output-transfer
+    cost.  Each timing forces a host transfer of the scalar carry because
+    `jax.block_until_ready` is unreliable on the tunneled axon platform
+    (measured returning in 0.4 ms for a 5.7 s graph).
+
+    Returns (per_call_s, aux) with aux = {"t1", "tk", "compile_s"}.
+    """
+    if k < 2:
+        raise ValueError(f"k-vs-1 differencing needs k >= 2, got k={k}")
+    import jax.numpy as jnp
+
+    def chain(n):
+        def run(*a):
+            def body(c, _):
+                outs = apply_fn(c, *a)
+                s = sum(
+                    jnp.sum(x.astype(jnp.float32)) * 1e-20
+                    for x in jax.tree_util.tree_leaves(outs)
+                )
+                return c + s, ()
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return c
+
+        return jax.jit(run)
+
+    f1, fk = chain(1), chain(k)
+    t0 = time.time()
+    np.asarray(f1(*args))
+    np.asarray(fk(*args))
+    compile_s = time.time() - t0
+
+    def best(fn):
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            np.asarray(fn(*args))
+            b = min(b, time.time() - t0)
+        return b
+
+    t1, tk = best(f1), best(fk)
+    per = (tk - t1) / (k - 1)
+    return per, {"t1": t1, "tk": tk, "compile_s": compile_s}
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """jax.profiler trace context; view with xprof / tensorboard-profile."""

@@ -107,33 +107,20 @@ def main():
         out = np.asarray(fwd(variables, left, right))
     per_pair_e2e = (time.time() - t0) / n_rep
 
-    # Pipelined device throughput: K sequential pairs in one program
-    # (serialized through a carry perturbation so XLA cannot collapse
-    # them), scalar output, timed by K-vs-1 differencing so both the
-    # tunnel RTT and the output transfer cancel.  This is the steady-state
-    # pairs/s a pipelined serving loop sustains on the chip.
-    def chain(v, l, r, n):
-        def body(c, _):
-            o = model.apply(v, l + c, r + c, iters=iters, mode="eval").disp_final
-            return c + jnp.mean(o) * 1e-20, ()
+    # Pipelined device throughput: K sequential pairs in one program,
+    # timed by K-vs-1 scan differencing so both the tunnel RTT and the
+    # output transfer cancel (shared harness: utils/profiling).  This is
+    # the steady-state pairs/s a pipelined serving loop sustains.
+    from anystereo_tpu.utils.profiling import pipelined_per_call
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-        return c
-
-    k = 6
-    f1 = jax.jit(lambda v, l, r: chain(v, l, r, 1))
-    fk = jax.jit(lambda v, l, r: chain(v, l, r, k))
-    np.asarray(f1(variables, left, right))
-    np.asarray(fk(variables, left, right))
-    t1 = min(
-        _timed(lambda: np.asarray(f1(variables, left, right)))
-        for _ in range(2)
+    per_pair_dev, _ = pipelined_per_call(
+        lambda c, v, l, r: model.apply(
+            v, l + c, r + c, iters=iters, mode="eval"
+        ).disp_final,
+        (variables, left, right),
+        k=6,
+        reps=2,
     )
-    tk = min(
-        _timed(lambda: np.asarray(fk(variables, left, right)))
-        for _ in range(2)
-    )
-    per_pair_dev = (tk - t1) / (k - 1)
     pairs_per_sec = b / per_pair_dev
 
     print(
@@ -152,12 +139,6 @@ def main():
             }
         )
     )
-
-
-def _timed(fn):
-    t0 = time.time()
-    fn()
-    return time.time() - t0
 
 
 if __name__ == "__main__":

@@ -158,6 +158,76 @@ class TestTrainStep:
         assert int(restored.step) == int(state.step)
 
 
+class TestGrainResume:
+    """The grain loader's get_state/set_state is wired through train():
+    a preempted run resumes with the exact data order a straight run would
+    have used (no repeated or skipped samples)."""
+
+    def _make_loader(self, tmp_path, served):
+        from test_data import _synthetic_dataset
+
+        from anystereo_tpu.data.grain_loader import GrainLoader
+
+        ds = _synthetic_dataset(
+            tmp_path,
+            multi_scale=True,
+            scale_min=1.0,
+            scale_max=1.3,
+            inp_size=(64, 128),
+        )
+        orig = ds.__getitem__
+
+        def recording(i, rng=None):
+            served.append(int(i))
+            return orig(i, rng=rng)
+
+        ds.__getitem__ = recording
+        return GrainLoader(ds, 1, seed=11)
+
+    def test_exactly_once_data_order_across_resume(self, tmp_path):
+        from anystereo_tpu.config import Config
+        from anystereo_tpu.train.trainer import train
+
+        def cfg(ckpt_dir, steps):
+            return Config(
+                model=ModelConfig(max_disp=32),
+                train=TrainConfig(
+                    train_iters=2,
+                    batch_size=1,
+                    lr=1e-4,
+                    num_steps=steps,
+                    ckpt_every=1000,
+                    ckpt_dir=str(ckpt_dir),
+                    inp_size=(64, 128),
+                    scale_min=1.0,
+                    scale_max=1.3,
+                ),
+            )
+
+        # straight run: 3 steps, records the canonical batch order
+        served_a = []
+        train(cfg(tmp_path / "a", 3), self._make_loader(tmp_path, served_a))
+        assert len(served_a) >= 3
+
+        # preempted run: 2 steps, checkpoint (+ loader sidecar), resume to 3
+        served_b1, served_b2 = [], []
+        train(cfg(tmp_path / "b", 2), self._make_loader(tmp_path, served_b1))
+        import glob
+
+        assert glob.glob(str(tmp_path / "b" / "loader_state-2-*.bin")), (
+            "loader state sidecar not saved next to the checkpoint"
+        )
+        state = train(
+            cfg(tmp_path / "b", 3), self._make_loader(tmp_path, served_b2)
+        )
+        assert int(state.step) == 3
+        # part 1 trained on exactly the straight run's first two batches
+        assert served_b1 == served_a[:2]
+        # part 2: one spurious init fetch, then the restored order continues
+        # with the straight run's third batch — nothing repeated or skipped
+        assert served_b2[1:] == served_a[2:3]
+
+
 class TestStepDecay:
     def test_step_decay_schedule(self):
         from anystereo_tpu.train.optimizer import step_decay_schedule

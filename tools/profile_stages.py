@@ -23,20 +23,10 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
-
-
-def _timed(fn, n=2):
-    best = float("inf")
-    for _ in range(n):
-        t0 = time.time()
-        fn()
-        best = min(best, time.time() - t0)
-    return best
 
 
 def main():
@@ -50,6 +40,10 @@ def main():
                          "JAX_PLATFORMS env var is overridden by the axon site "
                          "hook, only jax.config works)")
     args = ap.parse_args()
+    if args.k < 2:
+        ap.error("--k must be >= 2 (K-vs-1 differencing)")
+    if args.iters < 2:
+        ap.error("--iters must be >= 2 (per-iteration slope needs two points)")
 
     import jax
 
@@ -108,41 +102,19 @@ def main():
 
         return f
 
-    # ---- differencing harness -------------------------------------------- #
+    # ---- differencing harness (shared with bench.py) ---------------------- #
 
-    def chain(method, n):
-        """n sequential applications serialized through a carry perturbation."""
-
-        def run(v, l, r):
-            def body(c, _):
-                outs = model.apply(v, l + c, r + c, method=method)
-                s = sum(
-                    jnp.sum(x.astype(jnp.float32) * 1e-20)
-                    for x in jax.tree_util.tree_leaves(outs)
-                )
-                return c + s, ()
-
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-            return c
-
-        return jax.jit(run)
-
-    k = args.k
+    from anystereo_tpu.utils.profiling import pipelined_per_call
 
     def dev_time(method, label):
-        f1 = chain(method, 1)
-        fk = chain(method, k)
-        t0 = time.time()
-        np.asarray(f1(variables, left, right))
-        c1 = time.time() - t0
-        t0 = time.time()
-        np.asarray(fk(variables, left, right))
-        ck = time.time() - t0
-        t1 = _timed(lambda: np.asarray(f1(variables, left, right)))
-        tk = _timed(lambda: np.asarray(fk(variables, left, right)))
-        per = (tk - t1) / (k - 1)
+        per, aux = pipelined_per_call(
+            lambda c, v, l, r: model.apply(v, l + c, r + c, method=method),
+            (variables, left, right),
+            k=args.k,
+        )
         print(
-            f"{label:32s} {per * 1000:9.2f} ms   (compile {c1 + ck:6.1f} s)",
+            f"{label:32s} {per * 1000:9.2f} ms   "
+            f"(compile {aux['compile_s']:6.1f} s)",
             flush=True,
         )
         return per
