@@ -198,6 +198,16 @@ class ModelConfig:
             raise ValueError("n_gru_layers must be 1, 2, or 3")
         if self.gru_type not in ("conv", "sep"):
             raise ValueError("gru_type must be 'conv' or 'sep'")
+        if self.n_downsample != 2 and not (
+            self.core is CoreType.RAFT
+            and self.agg_type is AggregationType.NONE
+        ):
+            # only the stem-free RAFT fnet honors n_downsample; the IGEV
+            # matching pyramid and every stem variant are built at 1/4
+            raise ValueError(
+                "n_downsample != 2 requires core=RAFT with agg_type=NONE "
+                "(stems and the IGEV pyramid are fixed at 1/4 resolution)"
+            )
 
 
 def raft_config(**overrides) -> ModelConfig:

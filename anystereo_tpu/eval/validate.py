@@ -189,10 +189,14 @@ class Validator:
         key = (shape, q)
         if key not in self._fns:
             iters = self.valid_iters
-            # quarter_nearest samples the 4 nearest latents per query —
-            # incompatible with the separable dense-grid decode, so those
-            # configs evaluate through the query path (full coord grid)
-            use_queries = self.model.cfg.liif.quarter_nearest != "none"
+            # quarter_nearest samples the 4 nearest latents per query and
+            # local_ensemble blends 4 shifted decodes — both incompatible
+            # with the separable dense-grid decode, so those configs
+            # evaluate through the query path (full coord grid)
+            liif_cfg = self.model.cfg.liif
+            use_queries = (
+                liif_cfg.quarter_nearest != "none" or liif_cfg.local_ensemble
+            )
 
             def f(params, left, right, ys, xs, scale):
                 if use_queries:
@@ -220,9 +224,12 @@ class Validator:
         fixed_upscale x it — the Middlebury Q→F/H→F protocol); gather-free
         dense decode."""
         if fixed_upscale is not None:
+            # divis must follow the model family here too (IGEV's hourglass
+            # needs 32-divisible padding; 16 crashes its level-2 skip concat
+            # on H/16-odd inputs)
             lp, rp, ys, xs, s = pad_for_fixed_upscale(
                 left[None].astype(np.float32), right[None].astype(np.float32),
-                fixed_upscale, 16,
+                fixed_upscale, divis,
             )
         else:
             lp, rp, ys, xs, s = pad_for_dense_grid(
@@ -385,8 +392,8 @@ def run_validation(
         sample1[None].astype(np.float32), sample2[None].astype(np.float32),
         scale_test, 32,
     )
-    if model_cfg.liif.quarter_nearest != "none":
-        # quarter_nearest decodes through the query path (see Validator._fn)
+    if model_cfg.liif.quarter_nearest != "none" or model_cfg.liif.local_ensemble:
+        # these configs decode through the query path (see Validator._fn)
         coords = jnp.stack(
             jnp.meshgrid(ys, xs, indexing="ij"), axis=-1
         ).reshape(1, ys.shape[0] * xs.shape[0], 2)

@@ -393,23 +393,16 @@ class LiifDecoder(nn.Module):
         return jnp.concatenate(pieces, axis=-1), rel0
 
     def _decode_dense(self, feats, ys, xs, scale):
-        from anystereo_tpu.ops.sampling import _nearest_indices
+        from anystereo_tpu.ops.sampling import nearest_dense_gather
 
         cfg = self.cfg
         oh, ow = ys.shape[0], xs.shape[0]
-        ysc = jnp.clip(ys, -1 + 1e-6, 1 - 1e-6)
-        xsc = jnp.clip(xs, -1 + 1e-6, 1 - 1e-6)
         pieces = []
         b = feats[0].shape[0]
         for i, feat in enumerate(feats):
             fh, fw = feat.shape[1], feat.shape[2]
             feat = self._augment(feat, i)
-            iy = _nearest_indices(ysc, fh)  # [H']
-            ix = _nearest_indices(xsc, fw)  # [W']
-            mh = jax.nn.one_hot(iy, fh, dtype=feat.dtype)  # [H', fh]
-            mw = jax.nn.one_hot(ix, fw, dtype=feat.dtype)  # [W', fw]
-            qf = jnp.einsum("yh,bhwc->bywc", mh, feat)
-            qf = jnp.einsum("xw,bywc->byxc", mw, qf)  # [B, H', W', C]
+            qf, iy, ix = nearest_dense_gather(feat, ys, xs)  # [B,H',W',C]
             rel_y = (ys - (-1.0 + (2.0 * iy + 1.0) / fh)) * fh  # [H']
             rel_x = (xs - (-1.0 + (2.0 * ix + 1.0) / fw)) * fw  # [W']
             rel = jnp.stack(

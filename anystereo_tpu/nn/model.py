@@ -183,24 +183,27 @@ class AnyStereo(nn.Module):
 
     def _scale_disp(self, disp, scale):
         """Pre-decode disparity scaling (continuous_IGEVstereo.py:198-206):
-        default disp*4*scale; optional width normalization variants."""
+        default disp*2^n_downsample*scale (4x for every reference config);
+        optional width normalization variants."""
+        up = float(2 ** self.cfg.n_downsample)
         w = disp.shape[-1]
         norm = self.cfg.liif.disparity_norm
         if norm == "width":
             return disp / w
         if norm == "width1024":
             return disp / w * 1024.0
-        return disp * 4.0 * scale[:, None, None]
+        return disp * up * scale[:, None, None]
 
     def _denorm_disp(self, disp_up, w, scale):
         """Post-decode denormalization (continuous_IGEVstereo.py:223-235)."""
+        up = float(2 ** self.cfg.n_downsample)
         norm = self.cfg.liif.disparity_norm
         if norm == "width":
-            return disp_up * jnp.round(w * 4.0 * scale).reshape(
+            return disp_up * jnp.round(w * up * scale).reshape(
                 (-1,) + (1,) * (disp_up.ndim - 1)
             )
         if norm == "width1024":
-            return disp_up / 1024.0 * jnp.round(w * 4.0 * scale).reshape(
+            return disp_up / 1024.0 * jnp.round(w * up * scale).reshape(
                 (-1,) + (1,) * (disp_up.ndim - 1)
             )
         return disp_up
@@ -224,7 +227,7 @@ class AnyStereo(nn.Module):
         """Dense-grid decode (the reference's fixed-size liif_out +
         context_upsample path, submodule.py:343-355) — separable one-hot
         matmuls instead of per-query gathers; returns [B, H', W']."""
-        from anystereo_tpu.ops.sampling import _nearest_indices
+        from anystereo_tpu.ops.sampling import nearest_dense_gather
         from anystereo_tpu.ops.upsample import unfold3x3
 
         feats = self._decoder_feats(hidden, stems)
@@ -233,13 +236,7 @@ class AnyStereo(nn.Module):
         w0 = disp.shape[-1]
         disp_scaled = self._scale_disp(disp, scale)
         patches = unfold3x3(disp_scaled)  # [B, h, w, 9] fp32
-        h, w = patches.shape[1], patches.shape[2]
-        iy = _nearest_indices(jnp.clip(ys, -1 + 1e-6, 1 - 1e-6), h)
-        ix = _nearest_indices(jnp.clip(xs, -1 + 1e-6, 1 - 1e-6), w)
-        mh = jax.nn.one_hot(iy, h, dtype=patches.dtype)
-        mw = jax.nn.one_hot(ix, w, dtype=patches.dtype)
-        up = jnp.einsum("yh,bhwc->bywc", mh, patches)
-        up = jnp.einsum("xw,bywc->byxc", mw, up)  # [B, H', W', 9]
+        up, _, _ = nearest_dense_gather(patches, ys, xs)  # [B, H', W', 9]
         return self._denorm_disp((up * weights).sum(axis=-1), w0, scale)
 
     # ------------------------------------------------------------------ #
@@ -268,10 +265,15 @@ class AnyStereo(nn.Module):
             scale = jnp.ones((b,), jnp.float32)
         else:
             scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (b,))
+        # quarter-nearest decodes 4 shifted taps per query and the local
+        # ensemble blends 4 shifted decodes — neither fits the separable
+        # dense path (which covers only the 3x3-unfold combine), so those
+        # configs evaluate through the query path
+        needs_queries = (
+            cfg.liif.quarter_nearest != "none" or cfg.liif.local_ensemble
+        )
         if coords is None and dense_grid is None:
-            if mode == "train" or cfg.liif.quarter_nearest != "none":
-                # quarter-nearest decodes 4 shifted taps per query — the
-                # separable dense path only covers the 3x3-unfold combine
+            if mode == "train" or needs_queries:
                 coords = dense_query_coords(b, h, w)
             else:
                 from anystereo_tpu.ops.coords import _axis_centers
@@ -279,8 +281,11 @@ class AnyStereo(nn.Module):
                 dense_grid = (_axis_centers(h), _axis_centers(w))
         if dense_grid is not None and mode == "train":
             raise ValueError("dense_grid is an eval-only decode path")
-        if dense_grid is not None and cfg.liif.quarter_nearest != "none":
-            raise ValueError("dense_grid decode does not support quarter_nearest")
+        if dense_grid is not None and needs_queries:
+            raise ValueError(
+                "dense_grid decode does not support quarter_nearest or "
+                "local_ensemble — use the query path (coords=...)"
+            )
 
         match_l, match_r, feats_l, stems = self._matching(left, right)
         pyr, init_disp = self._cost_stage(match_l, match_r, feats_l)

@@ -86,25 +86,15 @@ def build_pyramid(
     return CorrPyramid(tuple(corr_levels), geo_levels, radius)
 
 
-def _gather_window(vol: jnp.ndarray, base: jnp.ndarray, taps: int, impl: str):
-    """Dispatch the windowed tap gather: out[..., k] = lerp(vol, base + k).
-
-    impl 'pallas': the masked lane-reduction TPU kernel
-    (ops/pallas/lookup_kernel.py) — take_along_axis over the minor axis
-    lowers to per-element scalar gathers on TPU and measured ~175 ms per
-    GRU iteration at KITTI size vs single-digit ms for the kernel.  The
-    windowed form exploits the lookup's consecutive-integer tap offsets.
-    impl 'jnp': the gather oracle (CPU tests / fallback).
-    """
-    if impl == "jnp":
-        pos = base[..., None] + jnp.arange(taps, dtype=jnp.float32)
-        return gather_1d_linear(vol, pos)
-    from anystereo_tpu.ops.pallas.lookup_kernel import gather_window_linear
-
-    lead = vol.shape[:-1]
-    rows = vol.reshape(-1, vol.shape[-1])
-    out = gather_window_linear(rows, base.reshape(-1), taps, False)
-    return out.reshape(*lead, taps)
+def _gather_window(vol: jnp.ndarray, base: jnp.ndarray, taps: int):
+    """Windowed tap gather oracle: out[..., k] = lerp(vol, base + k),
+    exploiting the lookup's consecutive-integer tap offsets.  jnp only —
+    the production TPU path is the fused transposed pyramid kernel
+    dispatched directly in pyramid_lookup (impl=='pallas' early-returns
+    there); the single-level gather_window_linear kernel stays available
+    in ops/pallas with its own parity tests."""
+    pos = base[..., None] + jnp.arange(taps, dtype=jnp.float32)
+    return gather_1d_linear(vol, pos)
 
 
 _IMPL_OVERRIDE: Optional[Tuple[str, bool]] = None  # (impl, interpret)
@@ -200,14 +190,14 @@ def pyramid_lookup(
             geo = pyr.geo_levels[i]  # [B, H, W, G, Di]
             base = disp * scale - r  # tap k sits at base + k (dx = -r..r)
             base_g = jnp.broadcast_to(base[..., None], (b, h, w, g))
-            geo_taps.append(_gather_window(geo, base_g, k, impl))  # [B,H,W,G,K]
+            geo_taps.append(_gather_window(geo, base_g, k))  # [B,H,W,G,K]
         # internal order: [G, levels, K] flattened (group-major)
         out.append(jnp.stack(geo_taps, axis=-2).reshape(b, h, w, g * n_lvl * k))
     for i in range(n_lvl):
         scale = 1.0 / (2.0**i)
         corr = pyr.corr_levels[i]  # [B, H, W, W2i]
         cbase = (coords - disp) * scale - r
-        out.append(_gather_window(corr, cbase, k, impl))  # [B, H, W, K]
+        out.append(_gather_window(corr, cbase, k))  # [B, H, W, K]
     return jnp.concatenate(out, axis=-1) if len(out) > 1 else out[0]
 
 

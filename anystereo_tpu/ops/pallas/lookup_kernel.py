@@ -406,8 +406,12 @@ def _pix_tile(dpad: int, n_bufs: int = 1) -> int:
 
 
 def _pyr_t_fwd_kernel(vol_ref, bases_ref, out_ref, *, length: int, taps: int,
-                      levels: int):
+                      levels: int, pixel_major: bool):
+    """Shared body for the row-major ([levels*taps, tile] out) and
+    pixel-major ([tile, levels*taps] out, transposed in-VMEM) variants —
+    identical tap-slot classification and pool-validity math."""
     nblk = (length + 7) // 8
+    rows = []
     for lvl in range(levels):
         l_i = length >> lvl  # truncating pool semantics
         valid_len = l_i << lvl
@@ -417,7 +421,7 @@ def _pyr_t_fwd_kernel(vol_ref, bases_ref, out_ref, *, length: int, taps: int,
         frac = base - i0  # [1, P]
         i0i = i0.astype(jnp.int32)
 
-        def body(i, s):
+        def body(i, s, i0i=i0i, valid_len=valid_len, lvl=lvl):
             d0 = i * 8
             v8 = vol_ref[pl.ds(d0, 8), :]  # [8, P]
             dvec = jax.lax.broadcasted_iota(jnp.int32, v8.shape, 0) + d0
@@ -434,14 +438,22 @@ def _pyr_t_fwd_kernel(vol_ref, bases_ref, out_ref, *, length: int, taps: int,
         s = jax.lax.fori_loop(0, nblk, body, s0)
         pooled = [jnp.sum(sm, axis=0, keepdims=True) * inv for sm in s]
         for k in range(taps):
-            out_ref[lvl * taps + k:lvl * taps + k + 1, :] = (
-                (1.0 - frac) * pooled[k] + frac * pooled[k + 1]
-            )
+            row = (1.0 - frac) * pooled[k] + frac * pooled[k + 1]
+            if pixel_major:
+                rows.append(row)
+            else:
+                out_ref[lvl * taps + k:lvl * taps + k + 1, :] = row
+    if pixel_major:
+        res = jnp.concatenate(rows, axis=0)  # [levels*taps, tile]
+        out_ref[:, :] = jnp.swapaxes(res, 0, 1)
 
 
 def _pyr_t_bwd_kernel(bases_ref, g_ref, dvol_ref, *, length: int, taps: int,
-                      levels: int):
+                      levels: int, pixel_major: bool):
     nblk = (length + 7) // 8
+    g_t = g_ref[:, :]  # [levels*taps, tile] (pm: [tile, levels*taps])
+    if pixel_major:
+        g_t = jnp.swapaxes(g_t, 0, 1)
     # per-level tap-slot gradient coefficients c_m = (1-f)·g_m + f·g_{m-1}
     coeffs = []  # [levels][taps+1] of [1, P]
     i0s = []
@@ -455,9 +467,9 @@ def _pyr_t_bwd_kernel(bases_ref, g_ref, dvol_ref, *, length: int, taps: int,
         for m in range(taps + 1):
             c = jnp.zeros_like(frac)
             if m < taps:
-                c = c + (1.0 - frac) * g_ref[lvl * taps + m:lvl * taps + m + 1, :]
+                c = c + (1.0 - frac) * g_t[lvl * taps + m:lvl * taps + m + 1, :]
             if m >= 1:
-                c = c + frac * g_ref[lvl * taps + m - 1:lvl * taps + m, :]
+                c = c + frac * g_t[lvl * taps + m - 1:lvl * taps + m, :]
             cs.append(c * inv)
         coeffs.append(cs)
 
@@ -477,7 +489,8 @@ def _pyr_t_bwd_kernel(bases_ref, g_ref, dvol_ref, *, length: int, taps: int,
     jax.lax.fori_loop(0, nblk, body, 0)
 
 
-def _pyr_t_pallas_fwd(vol_t, bases_t, taps: int, interpret: bool):
+def _pyr_t_fwd_impl(vol_t, bases_t, taps: int, interpret: bool,
+                    pixel_major: bool):
     length, r = vol_t.shape
     levels = bases_t.shape[0]
     dpad = _round_up(max(length, 8), 8)
@@ -487,44 +500,66 @@ def _pyr_t_pallas_fwd(vol_t, bases_t, taps: int, interpret: bool):
         vol_t.astype(jnp.float32), ((0, dpad - length), (0, rpad - r))
     )
     bases_p = jnp.pad(bases_t.astype(jnp.float32), ((0, 0), (0, rpad - r)))
+    if pixel_major:
+        out_spec = pl.BlockSpec((tile, levels * taps), lambda i: (i, 0))
+        out_shape = jax.ShapeDtypeStruct((rpad, levels * taps), jnp.float32)
+    else:
+        out_spec = pl.BlockSpec((levels * taps, tile), lambda i: (0, i))
+        out_shape = jax.ShapeDtypeStruct((levels * taps, rpad), jnp.float32)
     out = pl.pallas_call(
         functools.partial(
-            _pyr_t_fwd_kernel, length=length, taps=taps, levels=levels
+            _pyr_t_fwd_kernel, length=length, taps=taps, levels=levels,
+            pixel_major=pixel_major,
         ),
         grid=(rpad // tile,),
         in_specs=[
             pl.BlockSpec((dpad, tile), lambda i: (0, i)),
             pl.BlockSpec((levels, tile), lambda i: (0, i)),
         ],
-        out_specs=pl.BlockSpec((levels * taps, tile), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((levels * taps, rpad), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         interpret=interpret,
     )(vol_p, bases_p)
-    return out[:, :r]
+    return out[:r] if pixel_major else out[:, :r]
 
 
-def _pyr_t_pallas_bwd(bases_t, g, length: int, interpret: bool):
+def _pyr_t_bwd_impl(bases_t, g, length: int, interpret: bool,
+                    pixel_major: bool):
     levels, r = bases_t.shape
-    taps = g.shape[0] // levels
+    taps = (g.shape[1] if pixel_major else g.shape[0]) // levels
     dpad = _round_up(max(length, 8), 8)
     tile = _pix_tile(dpad)
     rpad = _round_up(max(r, 128), tile)
     bases_p = jnp.pad(bases_t.astype(jnp.float32), ((0, 0), (0, rpad - r)))
-    g_p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, rpad - r)))
+    if pixel_major:
+        g_p = jnp.pad(g.astype(jnp.float32), ((0, rpad - r), (0, 0)))
+        g_spec = pl.BlockSpec((tile, levels * taps), lambda i: (i, 0))
+    else:
+        g_p = jnp.pad(g.astype(jnp.float32), ((0, 0), (0, rpad - r)))
+        g_spec = pl.BlockSpec((levels * taps, tile), lambda i: (0, i))
     dvol = pl.pallas_call(
         functools.partial(
-            _pyr_t_bwd_kernel, length=length, taps=taps, levels=levels
+            _pyr_t_bwd_kernel, length=length, taps=taps, levels=levels,
+            pixel_major=pixel_major,
         ),
         grid=(rpad // tile,),
         in_specs=[
             pl.BlockSpec((levels, tile), lambda i: (0, i)),
-            pl.BlockSpec((levels * taps, tile), lambda i: (0, i)),
+            g_spec,
         ],
         out_specs=pl.BlockSpec((dpad, tile), lambda i: (0, i)),
         out_shape=jax.ShapeDtypeStruct((dpad, rpad), jnp.float32),
         interpret=interpret,
     )(bases_p, g_p)
     return dvol[:length, :r]
+
+
+def _pyr_t_pallas_fwd(vol_t, bases_t, taps: int, interpret: bool):
+    return _pyr_t_fwd_impl(vol_t, bases_t, taps, interpret, False)
+
+
+def _pyr_t_pallas_bwd(bases_t, g, length: int, interpret: bool):
+    return _pyr_t_bwd_impl(bases_t, g, length, interpret, False)
 
 
 # -- GSPMD partitioning: columns (pixels) are independent, so the kernel
@@ -613,129 +648,17 @@ else:  # pragma: no cover
 # + concat of the row-major output — measured 1.2 ms per GRU
 # iteration at KITTI size (38 MB of strided 18-minor-dim shuffles);
 # with pixel-major outputs every downstream reshape is free.
+# Implementation shared with the row-major kernels above
+# (pixel_major=True in _pyr_t_fwd_kernel/_pyr_t_bwd_kernel).
 # ----------------------------------------------------------------- #
 
 
-def _pyr_t_pm_fwd_kernel(vol_ref, bases_ref, out_ref, *, length: int,
-                         taps: int, levels: int):
-    nblk = (length + 7) // 8
-    rows = []
-    for lvl in range(levels):
-        l_i = length >> lvl
-        valid_len = l_i << lvl
-        inv = jnp.float32(1.0 / (1 << lvl))
-        base = bases_ref[lvl:lvl + 1, :]
-        i0 = jnp.floor(base)
-        frac = base - i0
-        i0i = i0.astype(jnp.int32)
-
-        def body(i, s, i0i=i0i, valid_len=valid_len, lvl=lvl):
-            d0 = i * 8
-            v8 = vol_ref[pl.ds(d0, 8), :]
-            dvec = jax.lax.broadcasted_iota(jnp.int32, v8.shape, 0) + d0
-            t = jnp.where(dvec < valid_len, (dvec >> lvl) - i0i, -1)
-            return tuple(
-                s[m] + jnp.where(t == m, v8, 0.0) for m in range(taps + 1)
-            )
-
-        s0 = tuple(
-            jnp.zeros((8, vol_ref.shape[1]), jnp.float32)
-            for _ in range(taps + 1)
-        )
-        s = jax.lax.fori_loop(0, nblk, body, s0)
-        pooled = [jnp.sum(sm, axis=0, keepdims=True) * inv for sm in s]
-        for k in range(taps):
-            rows.append((1.0 - frac) * pooled[k] + frac * pooled[k + 1])
-    res = jnp.concatenate(rows, axis=0)  # [levels*taps, tile]
-    out_ref[:, :] = jnp.swapaxes(res, 0, 1)
-
-
-def _pyr_t_pm_bwd_kernel(bases_ref, g_ref, dvol_ref, *, length: int,
-                         taps: int, levels: int):
-    nblk = (length + 7) // 8
-    g_t = jnp.swapaxes(g_ref[:, :], 0, 1)  # [levels*taps, tile]
-    coeffs = []
-    i0s = []
-    for lvl in range(levels):
-        inv = jnp.float32(1.0 / (1 << lvl))
-        base = bases_ref[lvl:lvl + 1, :]
-        i0 = jnp.floor(base)
-        frac = base - i0
-        i0s.append(i0.astype(jnp.int32))
-        cs = []
-        for m in range(taps + 1):
-            c = jnp.zeros_like(frac)
-            if m < taps:
-                c = c + (1.0 - frac) * g_t[lvl * taps + m:lvl * taps + m + 1, :]
-            if m >= 1:
-                c = c + frac * g_t[lvl * taps + m - 1:lvl * taps + m, :]
-            cs.append(c * inv)
-        coeffs.append(cs)
-
-    def body(i, _):
-        d0 = i * 8
-        shape = (8, dvol_ref.shape[1])
-        dvec = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + d0
-        acc = jnp.zeros(shape, jnp.float32)
-        for lvl in range(levels):
-            valid_len = (length >> lvl) << lvl
-            t = jnp.where(dvec < valid_len, (dvec >> lvl) - i0s[lvl], -1)
-            for m in range(taps + 1):
-                acc = acc + jnp.where(t == m, coeffs[lvl][m], 0.0)
-        dvol_ref[pl.ds(d0, 8), :] = acc
-        return 0
-
-    jax.lax.fori_loop(0, nblk, body, 0)
-
-
 def _pyr_t_pm_pallas_fwd(vol_t, bases_t, taps: int, interpret: bool):
-    length, r = vol_t.shape
-    levels = bases_t.shape[0]
-    dpad = _round_up(max(length, 8), 8)
-    tile = _pix_tile(dpad)
-    rpad = _round_up(max(r, 128), tile)
-    vol_p = jnp.pad(
-        vol_t.astype(jnp.float32), ((0, dpad - length), (0, rpad - r))
-    )
-    bases_p = jnp.pad(bases_t.astype(jnp.float32), ((0, 0), (0, rpad - r)))
-    out = pl.pallas_call(
-        functools.partial(
-            _pyr_t_pm_fwd_kernel, length=length, taps=taps, levels=levels
-        ),
-        grid=(rpad // tile,),
-        in_specs=[
-            pl.BlockSpec((dpad, tile), lambda i: (0, i)),
-            pl.BlockSpec((levels, tile), lambda i: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((tile, levels * taps), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rpad, levels * taps), jnp.float32),
-        interpret=interpret,
-    )(vol_p, bases_p)
-    return out[:r]
+    return _pyr_t_fwd_impl(vol_t, bases_t, taps, interpret, True)
 
 
 def _pyr_t_pm_pallas_bwd(bases_t, g, length: int, interpret: bool):
-    levels, r = bases_t.shape
-    taps = g.shape[1] // levels
-    dpad = _round_up(max(length, 8), 8)
-    tile = _pix_tile(dpad)
-    rpad = _round_up(max(r, 128), tile)
-    bases_p = jnp.pad(bases_t.astype(jnp.float32), ((0, 0), (0, rpad - r)))
-    g_p = jnp.pad(g.astype(jnp.float32), ((0, rpad - r), (0, 0)))
-    dvol = pl.pallas_call(
-        functools.partial(
-            _pyr_t_pm_bwd_kernel, length=length, taps=taps, levels=levels
-        ),
-        grid=(rpad // tile,),
-        in_specs=[
-            pl.BlockSpec((levels, tile), lambda i: (0, i)),
-            pl.BlockSpec((tile, levels * taps), lambda i: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec((dpad, tile), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((dpad, rpad), jnp.float32),
-        interpret=interpret,
-    )(bases_p, g_p)
-    return dvol[:length, :r]
+    return _pyr_t_bwd_impl(bases_t, g, length, interpret, True)
 
 
 # Partitioning for the pixel-major variants: the pixel axis R is dim 1 of

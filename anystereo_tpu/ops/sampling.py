@@ -73,6 +73,25 @@ def nearest_sample(feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(flat, idx)
 
 
+def nearest_dense_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):
+    """Separable nearest gather of a dense NHWC map at normalized axis
+    grids — the gather-free form used by the dense eval decode (one-hot
+    rows contract on the MXU instead of per-query scalar gathers).
+
+    x:  [B, h, w, C]; ys: [H'] / xs: [W'] in [-1, 1]
+    returns (out [B, H', W', C], iy [H'] int32, ix [W'] int32) where
+    iy/ix are the gathered source indices (for rel-coord computation).
+    """
+    h, w = x.shape[1], x.shape[2]
+    iy = _nearest_indices(jnp.clip(ys, -1 + 1e-6, 1 - 1e-6), h)
+    ix = _nearest_indices(jnp.clip(xs, -1 + 1e-6, 1 - 1e-6), w)
+    mh = jax.nn.one_hot(iy, h, dtype=x.dtype)  # [H', h]
+    mw = jax.nn.one_hot(ix, w, dtype=x.dtype)  # [W', w]
+    out = jnp.einsum("yh,bhwc->bywc", mh, x)
+    out = jnp.einsum("xw,bywc->byxc", mw, out)  # [B, H', W', C]
+    return out, iy, ix
+
+
 def nearest_latent_coords(coords: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Normalized pixel-center coordinates of the latent cell each query
     lands in — equal to nearest-sampling a make_coord grid (liif.py:124-125)

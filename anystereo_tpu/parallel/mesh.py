@@ -73,6 +73,14 @@ def make_mesh(
     data = cfg.data if cfg.data > 0 else n // max(cfg.spatial, 1)
     spatial = cfg.spatial
     if data * spatial != n:
+        if spatial > 1:
+            # an explicitly requested spatial tiling that cannot be
+            # honored must not silently become an unsharded axis — the
+            # caller believes high-res inference is tiled and OOMs instead
+            raise ValueError(
+                f"mesh {data}x{spatial} (data x spatial) does not match "
+                f"{n} devices; pick data*spatial == device count"
+            )
         # default: all devices on the data axis
         data, spatial = n, 1
     arr = np.asarray(devices).reshape(data, spatial)

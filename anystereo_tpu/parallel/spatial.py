@@ -49,11 +49,16 @@ def halo_exchange(x: jnp.ndarray, halo: int, axis_name: str, axis: int = 1) -> j
     from_next = jax.lax.ppermute(
         top, axis_name, [(i, (i - 1) % n) for i in range(n)]
     )
-    # at the global edges replicate own boundary instead of the wrapped data
-    from_prev = jnp.where(idx == 0, take(x, slice(0, halo)), from_prev)
-    from_next = jnp.where(
-        idx == n - 1, take(x, slice(x.shape[axis] - halo, x.shape[axis])), from_next
+    # at the global edges replicate the boundary row itself (F.pad
+    # mode='replicate' semantics: the edge row repeated `halo` times) —
+    # copying the first/last `halo` rows in forward order would put the
+    # wrong row adjacent to the boundary for any halo > 1
+    edge_top = jnp.repeat(take(x, slice(0, 1)), halo, axis=axis)
+    edge_bot = jnp.repeat(
+        take(x, slice(x.shape[axis] - 1, x.shape[axis])), halo, axis=axis
     )
+    from_prev = jnp.where(idx == 0, edge_top, from_prev)
+    from_next = jnp.where(idx == n - 1, edge_bot, from_next)
     return jnp.concatenate([from_prev, x, from_next], axis=axis)
 
 
@@ -69,7 +74,13 @@ def infer_spatial_sharded(
     spatial_axis: str = "spatial",
 ):
     """High-res inference with images/queries H-sharded over the spatial
-    mesh axis (GSPMD partitions convs/lookup and inserts halos)."""
+    mesh axis (GSPMD partitions convs/lookup and inserts halos).
+
+    `params` is a bare params tree or a full variables dict — the latter
+    carries batch_stats for the frozen-BN reference regime (converted
+    torch checkpoints)."""
+    from anystereo_tpu.eval.validate import _as_variables
+
     img_sh = NamedSharding(mesh, P(None, spatial_axis))
     q_sh = NamedSharding(mesh, P(None, spatial_axis))
     repl = NamedSharding(mesh, P())
@@ -77,14 +88,14 @@ def infer_spatial_sharded(
     right = jax.device_put(right, img_sh)
     coords = jax.device_put(coords, q_sh)
     scale = jax.device_put(scale, repl)
-    params = jax.device_put(params, repl)
+    variables = jax.device_put(_as_variables(params), repl)
 
     @partial(jax.jit, out_shardings=q_sh)
-    def fn(params, left, right, coords, scale):
+    def fn(variables, left, right, coords, scale):
         out = model.apply(
-            {"params": params}, left, right, iters=iters, coords=coords,
+            variables, left, right, iters=iters, coords=coords,
             scale=scale, mode="eval",
         )
         return out.disp_final
 
-    return fn(params, left, right, coords, scale)
+    return fn(variables, left, right, coords, scale)

@@ -69,7 +69,11 @@ def main():
 
     b, h, w = 1, 384, 1248
     iters = 32
-    cfg = ModelConfig()  # max_disp 192, the reference default
+    # A/B knob: ANYSTEREO_BENCH_OVERRIDES='{"fuse_gru_gates": true}' applies
+    # simple (bool/int/float/str) ModelConfig field overrides — the default
+    # benchmark protocol is the plain reference config.
+    overrides = json.loads(os.environ.get("ANYSTEREO_BENCH_OVERRIDES", "{}"))
+    cfg = ModelConfig(**overrides)  # max_disp 192, the reference default
     model = AnyStereo(cfg)
 
     rng = np.random.RandomState(0)
@@ -130,7 +134,8 @@ def main():
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
-                "config": f"IGEV eval {h}x{w} iters={iters} maxdisp={cfg.max_disp} bf16, pipelined",
+                "config": f"IGEV eval {h}x{w} iters={iters} maxdisp={cfg.max_disp} bf16, pipelined"
+                + (f" overrides={overrides}" if overrides else ""),
                 "latency_ms": round(per_pair_dev * 1000, 1),
                 "latency_ms_e2e_tunnel": round(per_pair_e2e * 1000, 1),
                 "compile_s": round(compile_s, 1),

@@ -23,9 +23,11 @@ class TestMesh:
         assert mesh.devices.shape == (4, 2)
         assert mesh.axis_names == ("data", "spatial")
 
-    def test_make_mesh_default_all_data(self, cpu_devices):
-        mesh = make_mesh(MeshConfig(data=0, spatial=3))  # 3 ∤ 8 → fall back
-        assert mesh.devices.shape == (8, 1)
+    def test_make_mesh_mismatched_spatial_raises(self, cpu_devices):
+        # an explicitly requested spatial tiling that cannot be honored
+        # must error, not silently become an unsharded axis
+        with pytest.raises(ValueError):
+            make_mesh(MeshConfig(data=0, spatial=3))  # 3 ∤ 8
 
     def test_shard_batch_places_leading_axis(self, cpu_devices):
         mesh = make_mesh(MeshConfig(data=8, spatial=1))

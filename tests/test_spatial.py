@@ -37,11 +37,17 @@ class TestHaloExchange:
             if i > 0:
                 np.testing.assert_array_equal(out[i, :2], xs[i - 1][-2:])
             else:
-                np.testing.assert_array_equal(out[i, :2], xs[0][:2])  # edge replicate
+                # edge replicate: the boundary row repeated, matching
+                # F.pad mode='replicate'
+                np.testing.assert_array_equal(
+                    out[i, :2], np.repeat(xs[0][:1], 2, axis=0)
+                )
             if i < n_dev - 1:
                 np.testing.assert_array_equal(out[i, -2:], xs[i + 1][:2])
             else:
-                np.testing.assert_array_equal(out[i, -2:], xs[-1][-2:])
+                np.testing.assert_array_equal(
+                    out[i, -2:], np.repeat(xs[-1][-1:], 2, axis=0)
+                )
 
 
 class TestSpatialInference:

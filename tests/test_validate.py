@@ -90,6 +90,32 @@ class TestValidateLoop:
         assert len(v._fns) == 1
 
 
+class TestFixedUpscaleDivis:
+    def test_qf_protocol_respects_model_divis(self):
+        """Middlebury Q→F/H→F: Validator.infer must pad the fixed-upscale
+        path to the model's divis (32 for IGEV), not a hardcoded 16 — at
+        H=48 (16-divisible only) the 3-level hourglass otherwise crashes
+        on an odd skip concat (H/4=12 is not divisible by 8)."""
+        from anystereo_tpu.eval.validate import pad_for_fixed_upscale
+
+        cfg = ModelConfig(max_disp=32)
+        model = AnyStereo(cfg)
+        rng = np.random.RandomState(0)
+        img1 = (rng.rand(48, 64, 3) * 255).astype(np.float32)
+        img2 = (rng.rand(48, 64, 3) * 255).astype(np.float32)
+        lp, rp, ys, xs, s = pad_for_fixed_upscale(
+            img1[None], img2[None], 2, 32
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), lp, rp, iters=1, dense_grid=(ys, xs),
+            scale=jnp.asarray([s]), mode="eval",
+        )
+        v = Validator(model, variables["params"], valid_iters=1)
+        out = v.infer(img1, img2, fixed_upscale=2, divis=32)
+        assert out.shape == (96, 128)
+        assert np.isfinite(out).all()
+
+
 class TestReporting:
     def test_result_txt_and_pngs(self, tmp_path):
         """--record/--output equivalents: per-image result lines, summary

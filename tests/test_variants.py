@@ -68,6 +68,40 @@ class TestLiifVariants:
         cfg = ModelConfig(max_disp=32, liif=LiifConfig(local_ensemble=True))
         _run(cfg)
 
+    def test_local_ensemble_eval_uses_query_path(self):
+        """Default eval (no coords) must not silently drop the 4-neighbor
+        ensemble: local_ensemble configs route through the query path, and
+        the separable dense grid is rejected for them."""
+        from anystereo_tpu.nn.model import dense_query_coords
+        from anystereo_tpu.ops.coords import _axis_centers
+
+        cfg = ModelConfig(max_disp=32, liif=LiifConfig(local_ensemble=True))
+        model = AnyStereo(cfg)
+        b, h, w = 1, 32, 64
+        rng = np.random.RandomState(0)
+        left = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        right = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        variables = model.init(
+            jax.random.PRNGKey(0), left, right, iters=1, mode="eval"
+        )
+        auto = model.apply(
+            variables, left, right, iters=1, mode="eval"
+        ).disp_final
+        explicit = model.apply(
+            variables, left, right, iters=1,
+            coords=dense_query_coords(b, h, w), mode="eval",
+        ).disp_final
+        np.testing.assert_allclose(
+            np.asarray(auto).reshape(-1),
+            np.asarray(explicit).reshape(-1),
+            rtol=1e-5, atol=1e-5,
+        )
+        with pytest.raises(ValueError):
+            model.apply(
+                variables, left, right, iters=1,
+                dense_grid=(_axis_centers(h), _axis_centers(w)), mode="eval",
+            )
+
     def test_quarter_nearest(self):
         cfg = ModelConfig(max_disp=32, liif=LiifConfig(quarter_nearest=True))
         assert cfg.liif.taps == 4

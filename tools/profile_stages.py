@@ -57,7 +57,9 @@ def main():
 
     enable_compilation_cache()
 
-    cfg = ModelConfig()
+    # same A/B knob as bench.py
+    overrides = json.loads(os.environ.get("ANYSTEREO_BENCH_OVERRIDES", "{}"))
+    cfg = ModelConfig(**overrides)
     model = AnyStereo(cfg)
     b, h, w = 1, args.h, args.w
     rng = np.random.RandomState(0)
