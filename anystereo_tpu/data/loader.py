@@ -40,6 +40,44 @@ def device_prefetch(iterator: Iterator[Dict[str, np.ndarray]], size: int = 2):
         yield buf.popleft()
 
 
+class CheckpointablePrefetch:
+    """One-batch device prefetch over a checkpointable (get_state/set_state)
+    iterator: device_put of batch N+1 overlaps the step running on batch N
+    — without breaking the trainer's exactly-once checkpoint contract,
+    because the serialized iterator state is snapshotted around every
+    fetch and exposed paired with the batch actually handed out.
+
+    After next() returns batch N:
+      * state_of_current    — state whose next fetch is batch N (the
+        emergency-checkpoint sidecar: the failed step's batch replays);
+      * state_after_current — state whose next fetch is batch N+1 (the
+        normal post-step checkpoint sidecar).
+    """
+
+    def __init__(self, it, place=None):
+        import jax
+
+        self._it = it
+        self._place = jax.device_put if place is None else place
+        self._buf_state = it.get_state()  # points at the buffered batch
+        self._buf = self._place(next(it))
+        self._next_state = it.get_state()  # points at the batch after it
+        self.state_of_current = None
+        self.state_after_current = None
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        batch = self._buf
+        self.state_of_current = self._buf_state
+        self.state_after_current = self._next_state
+        self._buf_state = self._next_state
+        self._buf = self._place(next(self._it))
+        self._next_state = self._it.get_state()
+        return batch
+
+
 class PrefetchLoader:
     """Iterate shuffled batches forever (drop_last semantics).
 

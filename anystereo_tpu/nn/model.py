@@ -181,6 +181,12 @@ class AnyStereo(nn.Module):
             return [x, s2x]
         return [x]
 
+    def _normalize(self, img):
+        """[0,255] image → [-1,1] in the compute dtype
+        (continuous_IGEVstereo.py:242-243).  Single source of truth — the
+        stage profiler calls this too (tools/profile_stages.py)."""
+        return (2.0 * (img / 255.0) - 1.0).astype(self._dt)
+
     def _scale_disp(self, disp, scale):
         """Pre-decode disparity scaling (continuous_IGEVstereo.py:198-206):
         default disp*2^n_downsample*scale (4x for every reference config);
@@ -259,8 +265,8 @@ class AnyStereo(nn.Module):
         scale: [B] arbitrary-scale factor (defaults to 1)."""
         cfg = self.cfg
         b, h, w, _ = left.shape
-        left = (2.0 * (left / 255.0) - 1.0).astype(self._dt)
-        right = (2.0 * (right / 255.0) - 1.0).astype(self._dt)
+        left = self._normalize(left)
+        right = self._normalize(right)
         if scale is None:
             scale = jnp.ones((b,), jnp.float32)
         else:

@@ -149,7 +149,12 @@ def restore_eval_variables(ckpt_dir: str, variables, step: Optional[int] = None)
 def restore_params_only(ckpt_dir: str, params, step: Optional[int] = None):
     """Weight-only restore with key filtering against the current model —
     the reference's restore semantics (train_continuous_IGEV.py:192-200),
-    for warm-starting from a differently-configured run."""
+    for warm-starting from a differently-configured run.
+
+    The checkpoint is restored WITHOUT a target (StandardRestore with a
+    target raises when the target has keys the checkpoint lacks), then
+    merged by key path: donor leaves whose path and shape match the
+    current model load; everything else keeps its fresh init."""
     import orbax.checkpoint as ocp
     import os
 
@@ -157,17 +162,20 @@ def restore_params_only(ckpt_dir: str, params, step: Optional[int] = None):
     mngr = ocp.CheckpointManager(path)
     step = mngr.latest_step() if step is None else step
     restored = mngr.restore(
-        step, args=ocp.args.Composite(params=ocp.args.StandardRestore(params))
+        step, args=ocp.args.Composite(params=ocp.args.StandardRestore())
     )["params"]
     mngr.close()
 
-    flat_cur = dict(jax.tree_util.tree_leaves_with_path(params))
-    flat_new = dict(jax.tree_util.tree_leaves_with_path(restored))
-    merged = {
-        k: (flat_new[k] if k in flat_new and flat_new[k].shape == v.shape else v)
-        for k, v in flat_cur.items()
+    keystr = jax.tree_util.keystr
+    flat_new = {
+        keystr(p): v
+        for p, v in jax.tree_util.tree_leaves_with_path(restored)
     }
-    treedef = jax.tree_util.tree_structure(params)
-    return jax.tree_util.tree_unflatten(
-        treedef, [merged[k] for k, _ in jax.tree_util.tree_leaves_with_path(params)]
-    )
+
+    def merge(path, v):
+        new = flat_new.get(keystr(path))
+        if new is not None and tuple(new.shape) == tuple(v.shape):
+            return jnp.asarray(new, v.dtype)
+        return v
+
+    return jax.tree_util.tree_map_with_path(merge, params)

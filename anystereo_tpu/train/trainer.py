@@ -74,23 +74,28 @@ def _loader_state_path(ckpt_dir: str, step: int) -> str:
     return os.path.join(ckpt_dir, f"loader_state-{step}-p{pid}.bin")
 
 
-def _save_loader_state(ckpt_dir: str, state: TrainState, it) -> None:
-    """Persist the checkpointable iterator state next to the orbax step,
-    pruning sidecars whose checkpoint step was garbage-collected."""
+def _save_loader_state(ckpt_dir: str, step: int, state_bytes) -> None:
+    """Persist the checkpointable iterator state (as captured by
+    CheckpointablePrefetch — next fetch is the batch for `step`) next to
+    the orbax step, pruning THIS host's sidecars whose checkpoint step was
+    garbage-collected (other hosts own their -p<pid> files; racing on a
+    shared glob would cross-delete)."""
     import glob
     import os
 
-    step = int(state.step)
-    st = it.get_state()
-    if isinstance(st, str):
-        st = st.encode()
+    if isinstance(state_bytes, str):
+        state_bytes = state_bytes.encode()
     with open(_loader_state_path(ckpt_dir, step), "wb") as f:
-        f.write(st)
+        f.write(state_bytes)
     kept = {e.name for e in os.scandir(ckpt_dir) if e.name.isdigit()}
-    for p in glob.glob(os.path.join(ckpt_dir, "loader_state-*.bin")):
+    pid = jax.process_index()
+    for p in glob.glob(os.path.join(ckpt_dir, f"loader_state-*-p{pid}.bin")):
         s = os.path.basename(p).split("-")[1]
         if s not in kept and s != str(step):
-            os.remove(p)
+            try:
+                os.remove(p)
+            except FileNotFoundError:
+                pass
 
 
 def train(
@@ -119,17 +124,23 @@ def train(
     from anystereo_tpu.data.loader import device_prefetch
 
     raw_it = iter(loader)
-    # A checkpointable iterator (grain: get_state/set_state) is consumed
-    # directly — device_prefetch would run it ahead of the train loop and
-    # make the saved state off by the prefetch depth.
+    # A checkpointable iterator (grain: get_state/set_state) goes through
+    # CheckpointablePrefetch: one-batch device prefetch with the iterator
+    # state snapshotted around every fetch, so checkpoints save the state
+    # paired with the batch actually consumed (plain device_prefetch would
+    # run ahead and make the saved state off by the prefetch depth).
+    from anystereo_tpu.data.loader import CheckpointablePrefetch
+
     ckptable_loader = hasattr(raw_it, "get_state") and hasattr(
         raw_it, "set_state"
     )
-    it = (
-        raw_it
-        if (ckptable_loader or mesh is not None)
-        else device_prefetch(raw_it)
-    )
+    place = None if mesh is None else (lambda x: x)  # mesh shards per step
+    if ckptable_loader:
+        it = CheckpointablePrefetch(raw_it, place=place)
+    elif mesh is None:
+        it = device_prefetch(raw_it)
+    else:
+        it = raw_it
     first = next(it)
 
     if state is None:
@@ -215,7 +226,10 @@ def train(
                 if os.path.exists(lp):
                     with open(lp, "rb") as f:
                         raw_it.set_state(f.read())
-                    first = next(it)  # refetch in the restored order
+                    # rebuild the prefetch wrapper over the restored order
+                    # (its buffered batch predates the set_state)
+                    it = CheckpointablePrefetch(raw_it, place=place)
+                    first = next(it)
                     log.info("restored loader state from %s", lp)
                 else:
                     log.warning(
@@ -261,9 +275,22 @@ def train(
                 state, metrics = step_fn(state, batch)
             except Exception:
                 log.exception("step %d failed — saving emergency checkpoint", i)
-                save_checkpoint(cfg.train.ckpt_dir, state)
-                if ckptable_loader:
-                    _save_loader_state(cfg.train.ckpt_dir, state, raw_it)
+                # the emergency save must never mask the real failure: a
+                # checkpoint at this step may already exist (fail right
+                # after resume) and orbax raises on duplicate steps
+                try:
+                    save_checkpoint(cfg.train.ckpt_dir, state)
+                    if ckptable_loader:
+                        # state.step == i and the failed batch was i's, so
+                        # the sidecar must point at batch i (replay it),
+                        # not at the batch after it
+                        _save_loader_state(
+                            cfg.train.ckpt_dir,
+                            int(state.step),
+                            it.state_of_current,
+                        )
+                except Exception:
+                    log.exception("emergency checkpoint failed")
                 raise
             logger.push(int(i), metrics)
             if (i + 1) % cfg.train.ckpt_every == 0 or i + 1 == total or (
@@ -272,7 +299,11 @@ def train(
                 jax.block_until_ready(state.params)
                 save_checkpoint(cfg.train.ckpt_dir, state)
                 if ckptable_loader:
-                    _save_loader_state(cfg.train.ckpt_dir, state, raw_it)
+                    _save_loader_state(
+                        cfg.train.ckpt_dir,
+                        int(state.step),
+                        it.state_after_current,
+                    )
                 if validate_fn is not None and not stop_requested["flag"]:
                     results = validate_fn(state, i + 1)
                     log.info("validation @%d: %s", i + 1, results)

@@ -140,6 +140,33 @@ class TestTrainStep:
         assert losses[-1] < losses[0], losses
         assert int(state.step) == 5
 
+    def test_params_only_restore_filters_key_mismatch(self, tmp_path):
+        """Warm-start from a differently-configured donor: keys present in
+        both trees with matching shapes load; keys the donor lacks (or
+        with different shapes) keep their fresh init — the reference's
+        filtered-restore semantics (train_continuous_IGEV.py:192-200).
+        A targeted StandardRestore would raise on the missing key."""
+        from anystereo_tpu.train.state import restore_params_only
+
+        donor = {
+            "a": {"kernel": jnp.ones((2, 3))},
+            "b": {"bias": jnp.full((4,), 7.0)},
+        }
+        tx = make_optimizer(lr=1e-3, grad_clip=1.0, num_steps=10)
+        save_checkpoint(str(tmp_path / "d"), create_train_state(donor, tx))
+        target = {
+            "a": {"kernel": jnp.zeros((9, 9))},  # shape mismatch: fresh
+            "b": {"bias": jnp.zeros((4,))},  # shared: loads
+            "c": {"kernel": jnp.zeros((5,))},  # donor lacks it: fresh
+        }
+        merged = restore_params_only(str(tmp_path / "d"), target)
+        np.testing.assert_array_equal(
+            np.asarray(merged["b"]["bias"]), np.full((4,), 7.0)
+        )
+        assert float(jnp.abs(merged["c"]["kernel"]).max()) == 0.0
+        assert merged["a"]["kernel"].shape == (9, 9)
+        assert float(jnp.abs(merged["a"]["kernel"]).max()) == 0.0
+
     def test_checkpoint_roundtrip(self, tiny_train_setup, tmp_path):
         model, tcfg, state, batch = tiny_train_setup
         state = jax.tree_util.tree_map(jnp.copy, state)
@@ -221,11 +248,14 @@ class TestGrainResume:
             cfg(tmp_path / "b", 3), self._make_loader(tmp_path, served_b2)
         )
         assert int(state.step) == 3
-        # part 1 trained on exactly the straight run's first two batches
-        assert served_b1 == served_a[:2]
-        # part 2: one spurious init fetch, then the restored order continues
-        # with the straight run's third batch — nothing repeated or skipped
-        assert served_b2[1:] == served_a[2:3]
+        # fetch pattern (CheckpointablePrefetch runs one batch ahead):
+        # run A fetches batches 0..3 for steps 0..2; run B part 1 fetches
+        # 0..2 for steps 0..1; part 2 makes two pre-restore fetches (wrapper
+        # buffer + init batch), then the restored order continues with the
+        # straight run's batches 2,3 — the step-2 batch is never repeated
+        # or skipped
+        assert served_b1 == served_a[:3]
+        assert served_b2[2:] == served_a[2:4]
 
 
 class TestStepDecay:

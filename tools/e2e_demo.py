@@ -81,9 +81,18 @@ def main():
     ap.add_argument("--out", default="/tmp/anystereo_e2e")
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--pairs", type=int, default=16)
+    ap.add_argument("--epe-target", type=float, default=2.0,
+                    help="held-out EPE the run must beat to PASS")
+    ap.add_argument("--platform", default=None,
+                    help="force a jax platform (e.g. cpu when the TPU "
+                         "tunnel is down; the JAX_PLATFORMS env var is "
+                         "overridden by the axon site hook)")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from anystereo_tpu.config import Config, ModelConfig, TrainConfig
     from anystereo_tpu.data.loader import PrefetchLoader
@@ -127,7 +136,7 @@ def main():
         report_dir=os.path.join(args.out, "report"), dump_images=True,
     )
     print("held-out validation:", {k: round(v, 3) for k, v in results.items()})
-    ok = results["epe"] < 2.0
+    ok = results["epe"] < args.epe_target
     print("E2E", "PASS" if ok else "WEAK", f"epe={results['epe']:.3f}")
     return 0 if ok else 1
 

@@ -74,8 +74,7 @@ def main():
     # ---- stage methods (mirrors of __call__'s eval path) ----------------- #
 
     def norm(mdl, l, r):
-        dt = mdl._dt
-        return (2.0 * (l / 255.0) - 1.0).astype(dt), (2.0 * (r / 255.0) - 1.0).astype(dt)
+        return mdl._normalize(l), mdl._normalize(r)
 
     def m_matching(mdl, l, r):
         l, r = norm(mdl, l, r)
@@ -141,7 +140,8 @@ def main():
     decode = results[f"full@{it_hi}"] - results[f"lowres@{it_hi}"]
     cost_only = results["matching+cost"] - results["matching"]
     summary = {
-        "config": f"IGEV eval {h}x{w} iters={it_hi} maxdisp={cfg.max_disp}",
+        "config": f"IGEV eval {h}x{w} iters={it_hi} maxdisp={cfg.max_disp}"
+        + (f" overrides={overrides}" if overrides else ""),
         "per_iter_ms": round(per_iter * 1000, 3),
         "one_time_ms": round(one_time * 1000, 2),
         "decode_ms": round(decode * 1000, 2),
