@@ -211,25 +211,29 @@ class TestGrainResume:
         ds.__getitem__ = recording
         return GrainLoader(ds, 1, seed=11)
 
-    def test_exactly_once_data_order_across_resume(self, tmp_path):
+    @staticmethod
+    def _cfg(ckpt_dir, steps):
         from anystereo_tpu.config import Config
+
+        return Config(
+            model=ModelConfig(max_disp=32),
+            train=TrainConfig(
+                train_iters=2,
+                batch_size=1,
+                lr=1e-4,
+                num_steps=steps,
+                ckpt_every=1000,
+                ckpt_dir=str(ckpt_dir),
+                inp_size=(64, 128),
+                scale_min=1.0,
+                scale_max=1.3,
+            ),
+        )
+
+    def test_exactly_once_data_order_across_resume(self, tmp_path):
         from anystereo_tpu.train.trainer import train
 
-        def cfg(ckpt_dir, steps):
-            return Config(
-                model=ModelConfig(max_disp=32),
-                train=TrainConfig(
-                    train_iters=2,
-                    batch_size=1,
-                    lr=1e-4,
-                    num_steps=steps,
-                    ckpt_every=1000,
-                    ckpt_dir=str(ckpt_dir),
-                    inp_size=(64, 128),
-                    scale_min=1.0,
-                    scale_max=1.3,
-                ),
-            )
+        cfg = self._cfg
 
         # straight run: 3 steps, records the canonical batch order
         served_a = []
@@ -256,6 +260,55 @@ class TestGrainResume:
         # or skipped
         assert served_b1 == served_a[:3]
         assert served_b2[2:] == served_a[2:4]
+
+    def test_emergency_checkpoint_replays_failed_batch(
+        self, tmp_path, monkeypatch
+    ):
+        """A step failure saves an emergency checkpoint whose loader
+        sidecar points at the FAILED step's batch — resume trains that
+        step on the same data instead of silently skipping it."""
+        import glob
+
+        import anystereo_tpu.train.trainer as trainer_mod
+        from anystereo_tpu.train.trainer import train
+
+        # canonical order from a straight 3-step run
+        served_a = []
+        train(self._cfg(tmp_path / "a", 3),
+              self._make_loader(tmp_path, served_a))
+
+        real_make = trainer_mod.make_train_step
+        calls = {"n": 0}
+
+        def failing_make(model, tcfg, mesh=None, mesh_cfg=None):
+            real = real_make(model, tcfg, mesh=mesh, mesh_cfg=mesh_cfg)
+
+            def step(state, batch):
+                if calls["n"] == 1:  # fail on the second step (i=1)
+                    calls["n"] += 1
+                    raise RuntimeError("injected step failure")
+                calls["n"] += 1
+                return real(state, batch)
+
+            return step
+
+        monkeypatch.setattr(trainer_mod, "make_train_step", failing_make)
+        served_fail = []
+        with pytest.raises(RuntimeError, match="injected"):
+            train(self._cfg(tmp_path / "c", 3),
+                  self._make_loader(tmp_path, served_fail))
+        assert glob.glob(str(tmp_path / "c" / "loader_state-1-*.bin")), (
+            "emergency checkpoint did not save a loader sidecar"
+        )
+
+        monkeypatch.setattr(trainer_mod, "make_train_step", real_make)
+        served_resume = []
+        state = train(self._cfg(tmp_path / "c", 3),
+                      self._make_loader(tmp_path, served_resume))
+        assert int(state.step) == 3
+        # two pre-restore fetches, then the restored order: batch 1 (the
+        # failed step's, replayed), batch 2, and batch 3 (prefetch)
+        assert served_resume[2:] == served_a[1:4]
 
 
 class TestStepDecay:
