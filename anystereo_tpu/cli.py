@@ -56,7 +56,13 @@ def cmd_train(argv):
     p.add_argument("--num-steps", type=int, default=100_000)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--train-iters", type=int, default=16)
-    p.add_argument("--multi-scale", action="store_true", default=True)
+    p.add_argument("--multi-scale", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="--no-multi-scale selects the reference's standard "
+                        "dense-crop training mode")
+    p.add_argument("--noyjitter", action="store_true",
+                   help="disable the ±2 px imperfect-rectification y-jitter "
+                        "(ON by default, matching train_continuous_IGEV.py)")
     p.add_argument("--inp-size", type=int, nargs=2, default=[160, 320])
     p.add_argument("--scale-min", type=float, default=1.0)
     p.add_argument("--scale-max", type=float, default=2.95)
@@ -96,6 +102,8 @@ def cmd_train(argv):
     from anystereo_tpu.data.loader import PrefetchLoader
     from anystereo_tpu.train.trainer import train
 
+    from anystereo_tpu.config import DataConfig
+
     cfg = Config(
         model=_model_cfg(args),
         train=TrainConfig(
@@ -110,8 +118,19 @@ def cmd_train(argv):
             supervise_init=args.supervise_init,
             ckpt_dir=args.ckpt_dir,
         ),
+        data=DataConfig(
+            train_datasets=tuple(args.datasets),
+            root=args.data_root,
+            num_workers=args.num_workers,
+            yjitter=not args.noyjitter,
+        ),
     )
-    aug = AugmentorConfig(crop_size=(args.inp_size[0], args.inp_size[1]))
+    # y-jitter defaults ON like the reference trainer ('yjitter': not
+    # args.noyjitter, train_continuous_IGEV.py); sparse datasets ignore it
+    aug = AugmentorConfig(
+        crop_size=(args.inp_size[0], args.inp_size[1]),
+        yjitter=not args.noyjitter,
+    )
     roots = {name: args.data_root for name in
              ("sceneflow", "kitti12", "kitti15", "middlebury", "eth3d",
               "sintel", "falling_things", "tartanair")}

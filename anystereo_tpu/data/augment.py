@@ -107,7 +107,10 @@ class AugmentorConfig:
     yjitter: bool = False
     saturation_range: Tuple[float, float] = (0.0, 1.4)
     gamma: Tuple[float, float, float, float] = (1, 1, 1, 1)
-    spatial_aug_prob: float = 1.0  # 0.8 for sparse
+    # None → resolved by density: 1.0 dense (FlowAugmentor), 0.8 sparse
+    # (SparseFlowAugmentor, augmentor.py:330 — 20% of sparse samples keep
+    # native resolution with un-scattered GT)
+    spatial_aug_prob: Optional[float] = None
     stretch_prob: float = 0.8
     max_stretch: float = 0.2
     h_flip_prob: float = 0.5
@@ -122,6 +125,11 @@ class StereoAugmentor:
     def __init__(self, cfg: AugmentorConfig, sparse: bool = False):
         self.cfg = cfg
         self.sparse = sparse
+        self.spatial_prob = (
+            cfg.spatial_aug_prob
+            if cfg.spatial_aug_prob is not None
+            else (0.8 if sparse else 1.0)
+        )
         sat = cfg.saturation_range
         if sparse:
             self.jitter = ColorJitter(0.3, 0.3, sat, 0.3 / 3.14, cfg.gamma)
@@ -212,10 +220,11 @@ class StereoAugmentor:
                     valid = valid[::-1]
         return img1, img2, flow, valid
 
-    def spatial_transform(self, img1, img2, flow, valid, crop, rng):
+    def spatial_transform(self, img1, img2, flow, valid, crop, rng,
+                          margin_crop: bool = True):
         cfg = self.cfg
         sx, sy = self._sample_scales(img1.shape[0], img1.shape[1], crop, rng)
-        if rng.rand() < cfg.spatial_aug_prob:
+        if rng.rand() < self.spatial_prob:
             img1 = cv2.resize(img1, None, fx=sx, fy=sy, interpolation=cv2.INTER_LINEAR)
             img2 = cv2.resize(img2, None, fx=sx, fy=sy, interpolation=cv2.INTER_LINEAR)
             if self.sparse:
@@ -225,12 +234,19 @@ class StereoAugmentor:
                 flow = flow * [sx, sy]
         img1, img2, flow, valid = self._flips(img1, img2, flow, valid, rng)
 
-        if self.sparse:
+        if self.sparse and margin_crop:
+            # standard sparse path: margin-then-clip crop
+            # (SparseFlowAugmentor, augmentor.py:431-438); the WoCrop
+            # multi-scale path uses a plain uniform crop (:569-570)
             margin_y, margin_x = 20, 50
             y0 = rng.randint(0, img1.shape[0] - crop[0] + margin_y)
             x0 = rng.randint(-margin_x, img1.shape[1] - crop[1] + margin_x)
             y0 = int(np.clip(y0, 0, img1.shape[0] - crop[0]))
             x0 = int(np.clip(x0, 0, img1.shape[1] - crop[1]))
+            y1 = y0
+        elif self.sparse:
+            y0 = rng.randint(0, img1.shape[0] - crop[0] + 1)
+            x0 = rng.randint(0, img1.shape[1] - crop[1] + 1)
             y1 = y0
         elif cfg.yjitter:
             y0 = rng.randint(2, img1.shape[0] - crop[0] - 2)
@@ -267,7 +283,8 @@ class StereoAugmentor:
         img1, img2 = self.color_transform(img1, img2, rng)
         img1, img2 = self.eraser_transform(img1, img2, rng)
         img1, img2, flow, valid = self.spatial_transform(
-            img1, img2, flow, valid, crop, rng
+            img1, img2, flow, valid, crop, rng,
+            margin_crop=scale_size is None,
         )
         if scale_size is not None:
             img1 = cv2.resize(

@@ -133,9 +133,30 @@ class StereoDataset:
             )
 
         disp_hr = flow[..., 0]  # [h_hr, w_hr]
-        low = cv2.resize(
-            disp_hr, dsize=(w_lr // 4, h_lr // 4), interpolation=cv2.INTER_LINEAR
-        ) / (4.0 * scale)
+        if self.sparse:
+            # the reference skips flow_low_res entirely on the sparse
+            # multi-training path (stereo_datasets.py:188); a plain
+            # INTER_LINEAR resize would average valid disparities with the
+            # zero-filled invalid pixels and supervise init_disp toward ~0.
+            # Here: valid-aware block mean, with empty cells set to a
+            # sentinel the init-disp loss mask (gt_low < max_disp/4)
+            # excludes — supervise_init works for sparse data too.
+            lh, lw = h_lr // 4, w_lr // 4
+            ys, xs = np.nonzero(disp_hr > 0)
+            yy = np.clip((ys * (lh / disp_hr.shape[0])).astype(np.int64), 0, lh - 1)
+            xx = np.clip((xs * (lw / disp_hr.shape[1])).astype(np.int64), 0, lw - 1)
+            acc = np.zeros((lh, lw), np.float64)
+            cnt = np.zeros((lh, lw), np.float64)
+            np.add.at(acc, (yy, xx), disp_hr[ys, xs])
+            np.add.at(cnt, (yy, xx), 1.0)
+            low = np.where(
+                cnt > 0, acc / np.maximum(cnt, 1.0) / (4.0 * scale), 1e9
+            ).astype(np.float32)
+        else:
+            low = cv2.resize(
+                disp_hr, dsize=(w_lr // 4, h_lr // 4),
+                interpolation=cv2.INTER_LINEAR,
+            ) / (4.0 * scale)
 
         coords = make_coord_np(disp_hr.shape)  # [h_hr*w_hr, 2]
         values = disp_hr.reshape(-1)
@@ -380,7 +401,17 @@ class ETH3D(StereoDataset):
         super().__init__(aug, sparse=True, **kw)
         img1 = sorted(glob(osp.join(root, f"two_view_{split}/*/im0.png")))
         img2 = sorted(glob(osp.join(root, f"two_view_{split}/*/im1.png")))
-        disp = sorted(glob(osp.join(root, "two_view_training_gt/*/disp0GT.pfm")))
+        if split == "training":
+            disp = sorted(
+                glob(osp.join(root, "two_view_training_gt/*/disp0GT.pfm"))
+            )
+        else:
+            # non-training splits have no GT: the reference pairs every
+            # image with one fixed dummy GT (stereo_datasets.py:323) —
+            # zipping against training GTs would pair unrelated scenes
+            disp = [
+                osp.join(root, "two_view_training_gt/playground_1l/disp0GT.pfm")
+            ] * len(img1)
         for l, r, d in zip(img1, img2, disp):
             self.image_list.append([l, r])
             self.disparity_list.append(d)

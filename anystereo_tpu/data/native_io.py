@@ -35,14 +35,28 @@ def _load():
     so = _find_built()
     if so is None:
         try:
-            subprocess.run(
-                [sys.executable, "setup.py", "build_ext", "--inplace"],
-                cwd=_NATIVE_DIR,
-                check=True,
-                capture_output=True,
-                timeout=240,
-            )
-            so = _find_built()
+            # serialize the in-place build across processes (grain workers /
+            # multi-host launches all hit this lazily); losers of the race
+            # block on the lock, then find the winner's .so
+            import fcntl
+
+            lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
+            with open(lock_path, "w") as lock_f:
+                fcntl.flock(lock_f, fcntl.LOCK_EX)
+                try:
+                    so = _find_built()
+                    if so is None:
+                        subprocess.run(
+                            [sys.executable, "setup.py", "build_ext",
+                             "--inplace"],
+                            cwd=_NATIVE_DIR,
+                            check=True,
+                            capture_output=True,
+                            timeout=240,
+                        )
+                        so = _find_built()
+                finally:
+                    fcntl.flock(lock_f, fcntl.LOCK_UN)
         except Exception as e:  # toolchain missing / build failure → fallback
             log.info("native build unavailable (%s); using python IO", e)
             return None

@@ -80,7 +80,23 @@ PyObject* py_read_pfm(PyObject*, PyObject* args) {
 
   const npy_intp ch = color ? 3 : 1;
   const size_t count = static_cast<size_t>(width) * height * ch;
-  std::vector<float> buf(count);
+  // guard against corrupt headers: a bogus dims line must raise, not
+  // request petabytes (uncaught std::bad_alloc would std::terminate the
+  // whole training process through the C API boundary)
+  if (count > (1ull << 31)) {
+    fclose(f);
+    PyErr_Format(PyExc_ValueError, "%s: implausible PFM dims %ldx%ld", path,
+                 width, height);
+    return nullptr;
+  }
+  std::vector<float> buf;
+  try {
+    buf.resize(count);
+  } catch (const std::bad_alloc&) {
+    fclose(f);
+    PyErr_NoMemory();
+    return nullptr;
+  }
   const size_t got = fread(buf.data(), sizeof(float), count, f);
   fclose(f);
   if (got != count) {
@@ -134,14 +150,21 @@ PyObject* py_scatter_resize_sparse(PyObject*, PyObject* args) {
     return nullptr;
   }
   if (PyArray_NDIM(flow) != 3 || PyArray_DIM(flow, 2) != 2 ||
-      PyArray_NDIM(valid) != 2) {
+      PyArray_NDIM(valid) != 2 ||
+      PyArray_DIM(valid, 0) != PyArray_DIM(flow, 0) ||
+      PyArray_DIM(valid, 1) != PyArray_DIM(flow, 1)) {
     Py_DECREF(flow);
     Py_DECREF(valid);
-    PyErr_SetString(PyExc_ValueError, "flow must be [H,W,2], valid [H,W]");
+    PyErr_SetString(PyExc_ValueError,
+                    "flow must be [H,W,2] with valid [H,W] of the same H,W");
     return nullptr;
   }
   const long ht = PyArray_DIM(flow, 0), wd = PyArray_DIM(flow, 1);
-  const long ht1 = lround(ht * fy), wd1 = lround(wd * fx);
+  // nearbyint = round-half-to-even, matching numpy/python round() in the
+  // pure-python fallback (lround rounds half away from zero and would
+  // disagree on exact-.5 products — different output shapes per path)
+  const long ht1 = static_cast<long>(std::nearbyint(ht * fy));
+  const long wd1 = static_cast<long>(std::nearbyint(wd * fx));
 
   npy_intp fshape[3] = {ht1, wd1, 2};
   npy_intp vshape[2] = {ht1, wd1};
@@ -165,8 +188,8 @@ PyObject* py_scatter_resize_sparse(PyObject*, PyObject* args) {
     for (long x = 0; x < wd; ++x) {
       const long i = y * wd + x;
       if (vin[i] < 1.0f) continue;
-      const long xx = lround(x * fx);
-      const long yy = lround(y * fy);
+      const long xx = static_cast<long>(std::nearbyint(x * fx));
+      const long yy = static_cast<long>(std::nearbyint(y * fy));
       if (xx <= 0 || xx >= wd1 || yy <= 0 || yy >= ht1) continue;
       const long o = yy * wd1 + xx;
       fout[2 * o] = fin[2 * i] * static_cast<float>(fx);
@@ -200,12 +223,30 @@ PyObject* py_sample_queries(PyObject*, PyObject* args) {
     Py_XDECREF(idx);
     return nullptr;
   }
+  if (PyArray_NDIM(values) != 1 || PyArray_NDIM(coords) != 2 ||
+      PyArray_DIM(coords, 1) != 2 || PyArray_NDIM(idx) != 1 ||
+      PyArray_DIM(coords, 0) != PyArray_DIM(values, 0)) {
+    Py_DECREF(values);
+    Py_DECREF(coords);
+    Py_DECREF(idx);
+    PyErr_SetString(PyExc_ValueError,
+                    "values must be [N], coords [N,2], idx [Q]");
+    return nullptr;
+  }
   const long n = PyArray_DIM(values, 0);
   const long q = PyArray_DIM(idx, 0);
   npy_intp vshape[1] = {q};
   npy_intp cshape[2] = {q, 2};
   PyObject* v_out = PyArray_SimpleNew(1, vshape, NPY_FLOAT32);
   PyObject* c_out = PyArray_SimpleNew(2, cshape, NPY_FLOAT32);
+  if (!v_out || !c_out) {
+    Py_DECREF(values);
+    Py_DECREF(coords);
+    Py_DECREF(idx);
+    Py_XDECREF(v_out);
+    Py_XDECREF(c_out);
+    return nullptr;
+  }
   const float* vin = static_cast<float*>(PyArray_DATA(values));
   const float* cin = static_cast<float*>(PyArray_DATA(coords));
   const int64_t* iin = static_cast<int64_t*>(PyArray_DATA(idx));

@@ -134,6 +134,63 @@ class TestStereoDataset:
             shapes.add(tuple(s["left"].shape) + tuple(s["coords"].shape))
         assert len(shapes) == 1  # static under jit regardless of scale
 
+    def test_sparse_spatial_prob_default(self):
+        """SparseFlowAugmentor keeps 20% of samples unscaled
+        (augmentor.py:330): sparse default 0.8, dense 1.0, explicit
+        override respected."""
+        from anystereo_tpu.data.augment import AugmentorConfig, StereoAugmentor
+
+        assert StereoAugmentor(AugmentorConfig(), sparse=True).spatial_prob == 0.8
+        assert StereoAugmentor(AugmentorConfig(), sparse=False).spatial_prob == 1.0
+        assert (
+            StereoAugmentor(
+                AugmentorConfig(spatial_aug_prob=0.5), sparse=True
+            ).spatial_prob
+            == 0.5
+        )
+
+    def test_sparse_gt_low_is_valid_aware(self, tmp_path):
+        """Sparse multi-scale gt_low: valid-aware block mean, not a linear
+        resize that dilutes valid disparities with zero-filled invalid
+        pixels (the reference never emits flow_low_res for sparse,
+        stereo_datasets.py:188 — supervising init_disp toward ~0).  Cells
+        with no valid contributors carry a sentinel the init-disp loss
+        mask excludes."""
+        import cv2
+
+        from PIL import Image
+
+        ds = StereoDataset(
+            aug=AugmentorConfig(
+                crop_size=(48, 96), spatial_aug_prob=0.0, eraser_prob=0.0
+            ),
+            sparse=True,
+            reader=read_disp_kitti,
+            multi_scale=True,
+            scale_min=1.0,
+            scale_max=1.0,
+            inp_size=(48, 96),
+        )
+        rng0 = np.random.RandomState(7)
+        img = (rng0.rand(48, 96, 3) * 255).astype(np.uint8)
+        l, r = str(tmp_path / "l.png"), str(tmp_path / "r.png")
+        Image.fromarray(img).save(l)
+        Image.fromarray(img).save(r)
+        disp = np.full((48, 96), 12.0, np.float32)
+        disp[:, ::2] = 0  # sparse holes
+        disp[:16] = 0  # a fully-invalid band → sentinel cells
+        cv2.imwrite(str(tmp_path / "d.png"), (disp * 256).astype(np.uint16))
+        ds.image_list.append([l, r])
+        ds.disparity_list.append(str(tmp_path / "d.png"))
+
+        s = ds.__getitem__(0, rng=np.random.RandomState(0))
+        low = s["gt_low"]
+        sentinel = low > 1e8
+        assert sentinel.any(), "all-invalid cells must carry the sentinel"
+        # every non-sentinel cell is the exact mean of constant-12 valid
+        # pixels (÷ 4·scale); a diluting resize would produce values below
+        np.testing.assert_allclose(low[~sentinel], 12.0 / 4.0, rtol=1e-5)
+
     def test_sparse_valid_first_packing(self, tmp_path):
         ds = _synthetic_dataset(
             tmp_path, sparse=True, multi_scale=True, scale_min=1.5,

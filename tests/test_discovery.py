@@ -122,6 +122,36 @@ class TestMiddleburyDiscovery:
         assert len(ds14) == 3  # one per exposure variant
 
 
+class TestETH3DDiscovery:
+    def test_non_training_split_uses_dummy_gt(self, tmp_path):
+        """split != 'training' has no GT: every image pairs with the fixed
+        dummy GT (stereo_datasets.py:323) — zipping against training GTs
+        would pair unrelated scenes."""
+        from anystereo_tpu.data.datasets import ETH3D
+
+        root = str(tmp_path)
+        for scene in ("lakeside", "sandbox"):
+            _touch_png(f"{root}/two_view_testing/{scene}/im0.png")
+            _touch_png(f"{root}/two_view_testing/{scene}/im1.png")
+        # one unrelated training-GT scene that must NOT be zipped in
+        _touch_pfm(f"{root}/two_view_training_gt/delivery_area/disp0GT.pfm")
+        ds = ETH3D(root, aug=None, split="testing")
+        assert len(ds) == 2
+        assert all("playground_1l" in d for d in ds.disparity_list)
+
+    def test_training_split_pairs_real_gt(self, tmp_path):
+        from anystereo_tpu.data.datasets import ETH3D
+
+        root = str(tmp_path)
+        for scene in ("lakeside", "sandbox"):
+            _touch_png(f"{root}/two_view_training/{scene}/im0.png")
+            _touch_png(f"{root}/two_view_training/{scene}/im1.png")
+            _touch_pfm(f"{root}/two_view_training_gt/{scene}/disp0GT.pfm")
+        ds = ETH3D(root, aug=None, split="training")
+        assert len(ds) == 2
+        assert "lakeside" in ds.disparity_list[0]
+
+
 class TestFetchDataset:
     def test_name_mapping_and_replication(self, tmp_path):
         from anystereo_tpu.data.augment import AugmentorConfig

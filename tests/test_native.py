@@ -43,6 +43,15 @@ class TestReadPfm:
         with pytest.raises(ValueError):
             native_io.read_pfm(p)
 
+    def test_implausible_dims_raise(self, tmp_path):
+        """A corrupt header must raise ValueError, not request petabytes
+        (an uncaught C++ bad_alloc would abort the whole process)."""
+        p = str(tmp_path / "huge.pfm")
+        with open(p, "wb") as f:
+            f.write(b"Pf\n99999999 99999999\n-1.0\n")
+        with pytest.raises(ValueError):
+            native_io.read_pfm(p)
+
 
 class TestScatterResize:
     def test_parity_with_python(self, rng):
@@ -93,3 +102,29 @@ class TestSampleQueries:
         coords = np.zeros((4, 2), np.float32)
         with pytest.raises(IndexError):
             native_io.sample_queries(vals, coords, np.array([10], np.int64))
+
+    def test_shape_mismatch_raises(self):
+        """values/coords length mismatch must raise, not read past the
+        shorter buffer (heap overread)."""
+        vals = np.zeros(10, np.float32)
+        coords = np.zeros((4, 2), np.float32)  # shorter than values
+        with pytest.raises(ValueError):
+            native_io.sample_queries(vals, coords, np.array([7], np.int64))
+
+
+class TestScatterResizeValidation:
+    def test_valid_shape_mismatch_raises(self):
+        """valid dims must equal flow's [H,W] — a half-size valid map
+        previously caused an out-of-bounds heap read."""
+        flow = np.zeros((40, 60, 2), np.float32)
+        valid = np.zeros((20, 30), np.float32)
+        with pytest.raises(ValueError):
+            native_io.scatter_resize_sparse(flow, valid, 1.0, 1.0)
+
+    def test_half_even_shape_matches_python(self):
+        """Output dims use round-half-to-even like the python fallback
+        (lround would give 33 rows for 40*0.8125=32.5)."""
+        flow = np.zeros((40, 64, 2), np.float32)
+        valid = np.ones((40, 64), np.float32)
+        nf, nv = native_io.scatter_resize_sparse(flow, valid, 1.0, 0.8125)
+        assert nf.shape[0] == int(round(40 * 0.8125)) == 32

@@ -90,7 +90,8 @@ def main():
         )
         roots = {k: args.data_root for k in ("sceneflow",)}
         dataset = fetch_dataset(
-            ["sceneflow"], roots, AugmentorConfig(crop_size=(160, 320)),
+            ["sceneflow"], roots,
+            AugmentorConfig(crop_size=(160, 320), yjitter=True),
             multi_scale=True, scale_min=1.0, scale_max=2.95,
             inp_size=(160, 320),
         )
