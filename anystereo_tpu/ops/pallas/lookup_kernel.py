@@ -400,7 +400,17 @@ def _pix_tile(dpad: int, n_bufs: int = 1) -> int:
     would otherwise shred 240k pixel columns into ~1000 tiny [48, 256]
     blocks and go grid-overhead-bound (~2 us/step dominated the measured
     2 ms/iter), while a deep one (all-pairs corr at Middlebury width)
-    must stay within VMEM."""
+    must stay within VMEM.
+
+    ANYSTEREO_LOOKUP_TILE (env, multiple of 128) overrides the heuristic
+    for on-chip sweeps — the taps+1 masked accumulators are [8, tile]
+    each, so the tile also sets the kernel's live register/VMEM working
+    set (tools/profile_iter.py measures the effect)."""
+    import os
+
+    override = int(os.environ.get("ANYSTEREO_LOOKUP_TILE", "0"))
+    if override:
+        return override
     target = (2 * 1024 * 1024) // (4 * dpad * n_bufs)
     return max(256, min(4096, (target // 128) * 128))
 

@@ -28,6 +28,7 @@ def main():
     ap.add_argument("--lo", type=int, default=8)
     ap.add_argument("--hi", type=int, default=32)
     ap.add_argument("--k", type=int, default=6)
+    ap.add_argument("--only", choices=["lookup", "update", "both"], default="both")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -126,10 +127,18 @@ def main():
         print(f"{label:24s} {s * 1000:7.3f} ms/iter", flush=True)
         return s
 
-    res = {
-        "lookup_ms_per_iter": round(slope(lookup_only, "pyramid_lookup") * 1000, 3),
-        "update_ms_per_iter": round(slope(update_only, "update_block") * 1000, 3),
-    }
+    res = {}
+    tile = os.environ.get("ANYSTEREO_LOOKUP_TILE")
+    if tile:
+        res["lookup_tile"] = int(tile)
+    if args.only in ("lookup", "both"):
+        res["lookup_ms_per_iter"] = round(
+            slope(lookup_only, "pyramid_lookup") * 1000, 3
+        )
+    if args.only in ("update", "both"):
+        res["update_ms_per_iter"] = round(
+            slope(update_only, "update_block") * 1000, 3
+        )
     print(json.dumps(res))
 
 
