@@ -158,10 +158,40 @@ def pyramid_lookup(
         # the GRU iteration so XLA's while-loop LICM hoists it out of the
         # scan — and emits [R, levels*K] so the reshapes below move no
         # data (internal channel order; see module docstring).
-        from anystereo_tpu.ops.pallas.lookup_kernel import gather_pyramid_window_pm
+        # Two kernel flavors (ANYSTEREO_LOOKUP_KERNEL=aligned|classify):
+        # "aligned" (default) barrel-rolls each column to its window start
+        # so taps become static rows (~3-4x fewer VPU ops); "classify" is
+        # the original per-slot masked-select kernel kept for A/B.
+        import os
+
+        from anystereo_tpu.ops.pallas.lookup_kernel import (
+            gather_pyramid_aligned_pm,
+            gather_pyramid_window_pm,
+        )
+
+        flavor = os.environ.get("ANYSTEREO_LOOKUP_KERNEL", "aligned")
+        out = []
+        if flavor == "aligned":
+            if pyr.geo_levels is not None:
+                geo0 = pyr.geo_levels[0]  # [B, H, W, G, D]
+                g = geo0.shape[-2]
+                x_g = jnp.broadcast_to(
+                    disp[..., None], (b, h, w, g)
+                ).reshape(-1)
+                geo_pm = gather_pyramid_aligned_pm(
+                    geo0.reshape(-1, geo0.shape[-1]).T, x_g, k, n_lvl,
+                    interpret,
+                )  # [B*H*W*G, levels*K], rows (pixel, g)-major
+                out.append(geo_pm.reshape(b, h, w, g * n_lvl * k))
+            corr0 = pyr.corr_levels[0]
+            corr_pm = gather_pyramid_aligned_pm(
+                corr0.reshape(-1, corr0.shape[-1]).T,
+                (coords - disp).reshape(-1), k, n_lvl, interpret,
+            )  # [B*H*W, levels*K]
+            out.append(corr_pm.reshape(b, h, w, n_lvl * k))
+            return jnp.concatenate(out, axis=-1) if len(out) > 1 else out[0]
 
         scales = jnp.asarray([2.0**-i for i in range(n_lvl)], jnp.float32)
-        out = []
         if pyr.geo_levels is not None:
             geo0 = pyr.geo_levels[0]  # [B, H, W, G, D]
             g = geo0.shape[-2]

@@ -674,9 +674,9 @@ def _pyr_t_pm_pallas_bwd(bases_t, g, length: int, interpret: bool):
 # Partitioning for the pixel-major variants: the pixel axis R is dim 1 of
 # vol_t/bases_t but dim 0 of the [R, C] output (and of the bwd's incoming
 # gradient); rows/channels stay replicated.
-def _pm_partition(local_fn, r_dims_in, r_dim_out):
+def _pm_partition(local_fn, r_dims_in, r_dim_out, n_static: int = 2):
     """r_dims_in: per-operand axis index carrying R; r_dim_out: same for
-    the result."""
+    the result; n_static: number of trailing static args."""
 
     def _spec(ndim, r_axis, r):
         from jax.sharding import PartitionSpec as P
@@ -697,7 +697,7 @@ def _pm_partition(local_fn, r_dims_in, r_dim_out):
         return None
 
     def partition(*args):
-        static, (mesh, arg_infos, result_infos) = args[:2], args[2:]
+        static, (mesh, arg_infos, result_infos) = args[:n_static], args[n_static:]
         from jax.sharding import NamedSharding
 
         r = _find_r(arg_infos)
@@ -718,7 +718,7 @@ def _pm_partition(local_fn, r_dims_in, r_dim_out):
         return mesh, lower_fn, out_sh, arg_sh
 
     def infer(*args):
-        mesh, arg_infos, result_infos = args[2:]
+        mesh, arg_infos, result_infos = args[n_static:]
         from jax.sharding import NamedSharding
 
         res = (
@@ -817,6 +817,271 @@ def _gpwt_bwd(taps, interpret, res, g):
 
 
 gather_pyramid_window_t.defvjp(_gpwt_fwd, _gpwt_bwd)
+
+
+# ----------------------------------------------------------------- #
+# barrel-shift-aligned lookup: instead of classifying every (d, pixel)
+# element into its tap slot (taps+1 compare/select/adds per element per
+# level ≈ 60 VPU ops/element — the measured 1.25 ms/GRU-iter), roll each
+# pixel's column DOWN by its own window start i0 so the taps land on
+# STATIC sublane rows.  A per-lane dynamic roll is log2(Lpad) barrel
+# steps (static-shift pltpu.roll + per-lane select), after which every
+# pyramid level's taps are static row slices: level-lvl pooled tap j
+# reads rows off+c+2^lvl*j+m, where c = 2^lvl*i0_lvl - i0_0 + M - off
+# (a per-lane value in [0, 2^lvl)) selects the pooling parity.  Row
+# indices are taken mod Lpad (circular roll), so no pad margins are
+# needed: valid taps always land inside [0, L) and invalid taps are
+# zeroed by explicit masks (0 <= i0_lvl + j < L >> lvl), reproducing
+# grid_sample zero padding.  ~14 (GEV) / ~20 (corr) VPU ops per volume
+# element vs ~60 for the classify kernels — same math, same interface
+# family as gather_pyramid_window_pm but taking the level-0 position x
+# (base_lvl = x * 2^-lvl - radius, exactly how pyramid_lookup builds
+# its bases) instead of per-level bases, which is what lets one roll
+# serve every level.
+# ----------------------------------------------------------------- #
+
+
+def _aligned_geometry(taps: int, levels: int, radius: int):
+    """Margin M, per-level base row offsets, and the aligned-window size.
+
+    o_lvl = 2^lvl*i0_lvl - i0_0 + M ranges over [off_lvl, off_lvl + 2^lvl)
+    with off_lvl = M - (radius+1)*(2^lvl - 1); M makes off_lvl >= 0."""
+    M = (radius + 1) * (2 ** (levels - 1) - 1)
+    offs = [M - (radius + 1) * (2**lvl - 1) for lvl in range(levels)]
+    window = 1 + max(
+        offs[lvl] + (2**lvl - 1) + (2**lvl) * taps + (2**lvl - 1)
+        for lvl in range(levels)
+    )
+    return M, offs, window
+
+
+def _clamp_bounds(length: int, taps: int, levels: int, radius: int):
+    """x-clamp range: values at/beyond the bounds produce all-zero taps at
+    every level, so clamping only moves dead lanes (keeps floor/int32 and
+    the barrel bit-width finite for arbitrary disparities)."""
+    slack = (radius + 2) * (2**levels)
+    return float(-slack), float(length + slack)
+
+
+def _pyr_align_fwd_kernel(vol_ref, x_ref, out_ref, *, length: int, taps: int,
+                          levels: int, radius: int):
+    lpad = vol_ref.shape[0]
+    M, offs, _ = _aligned_geometry(taps, levels, radius)
+    lo, hi = _clamp_bounds(length, taps, levels, radius)
+    xc = jnp.clip(x_ref[0:1, :], lo, hi)  # [1, P]
+    i0f0 = jnp.floor(xc - radius)
+    i0_0 = i0f0.astype(jnp.int32)
+    roll = jax.lax.rem(i0_0 - M, lpad)
+    roll = jnp.where(roll < 0, roll + lpad, roll)  # [1, P] in [0, lpad)
+
+    aligned = vol_ref[:]  # [lpad, P]
+    for b in range((lpad - 1).bit_length()):
+        # net shift = -(sum of set bits) mod lpad → aligned[j] = vol[(j + roll) % lpad]
+        bit = ((roll >> b) & 1) == 1
+        shifted = pltpu.roll(aligned, shift=(lpad - (1 << b)) % lpad, axis=0)
+        aligned = jnp.where(bit, shifted, aligned)
+
+    rows = []
+    for lvl in range(levels):
+        width = 1 << lvl
+        base = xc * (2.0**-lvl) - radius
+        i0f = jnp.floor(base)
+        frac = base - i0f
+        i0 = i0f.astype(jnp.int32)
+        l_lvl = length >> lvl
+        inv = jnp.float32(1.0 / width)
+        off = offs[lvl]
+        if lvl == 0:
+            cand = None
+        else:
+            cand = i0 * width - i0_0 + (M - off)  # per-lane in [0, width)
+        svals = []
+        for j in range(taps + 1):
+            if lvl == 0:
+                s = aligned[off + j:off + j + 1, :]
+            else:
+                s = None
+                for c in range(width):
+                    r0 = off + c + width * j
+                    sc = aligned[r0:r0 + 1, :]
+                    for m in range(1, width):
+                        sc = sc + aligned[r0 + m:r0 + m + 1, :]
+                    sel = jnp.where(cand == c, sc, 0.0)
+                    s = sel if s is None else s + sel
+                s = s * inv
+            valid = (i0 + j >= 0) & (i0 + j <= l_lvl - 1)
+            svals.append(jnp.where(valid, s, 0.0))
+        for k in range(taps):
+            rows.append((1.0 - frac) * svals[k] + frac * svals[k + 1])
+    res = jnp.concatenate(rows, axis=0)  # [levels*taps, P]
+    out_ref[:, :] = jnp.swapaxes(res, 0, 1)
+
+
+def _pyr_align_bwd_kernel(x_ref, g_ref, dvol_ref, *, length: int, taps: int,
+                          levels: int, radius: int):
+    lpad = dvol_ref.shape[0]
+    tile = dvol_ref.shape[1]
+    M, offs, window = _aligned_geometry(taps, levels, radius)
+    lo, hi = _clamp_bounds(length, taps, levels, radius)
+    xc = jnp.clip(x_ref[0:1, :], lo, hi)
+    i0_0 = jnp.floor(xc - radius).astype(jnp.int32)
+    roll = jax.lax.rem(i0_0 - M, lpad)
+    roll = jnp.where(roll < 0, roll + lpad, roll)
+
+    g_t = jnp.swapaxes(g_ref[:, :], 0, 1)  # [levels*taps, P]
+    win = [jnp.zeros((1, tile), jnp.float32) for _ in range(window)]
+    for lvl in range(levels):
+        width = 1 << lvl
+        base = xc * (2.0**-lvl) - radius
+        i0f = jnp.floor(base)
+        frac = base - i0f
+        i0 = i0f.astype(jnp.int32)
+        l_lvl = length >> lvl
+        inv = jnp.float32(1.0 / width)
+        off = offs[lvl]
+        cand = None if lvl == 0 else i0 * width - i0_0 + (M - off)
+        for j in range(taps + 1):
+            coeff = jnp.zeros((1, tile), jnp.float32)
+            if j < taps:
+                coeff = coeff + (1.0 - frac) * g_t[lvl * taps + j:lvl * taps + j + 1, :]
+            if j >= 1:
+                coeff = coeff + frac * g_t[lvl * taps + j - 1:lvl * taps + j, :]
+            valid = (i0 + j >= 0) & (i0 + j <= l_lvl - 1)
+            coeff = jnp.where(valid, coeff * inv, 0.0)
+            if lvl == 0:
+                win[off + j] = win[off + j] + coeff
+            else:
+                for c in range(width):
+                    sel = jnp.where(cand == c, coeff, 0.0)
+                    for m in range(width):
+                        r0 = off + c + width * j + m
+                        win[r0] = win[r0] + sel
+    a = jnp.concatenate(
+        win + [jnp.zeros((lpad - window, tile), jnp.float32)], axis=0
+    )  # [lpad, P]
+    # transpose of aligned[j] = vol[(j + roll) % lpad]: dvol[p] = A[(p - roll) % lpad]
+    for b in range((lpad - 1).bit_length()):
+        bit = ((roll >> b) & 1) == 1
+        shifted = pltpu.roll(a, shift=(1 << b) % lpad, axis=0)
+        a = jnp.where(bit, shifted, a)
+    dvol_ref[:, :] = a
+
+
+def _align_lpad(length: int, taps: int, levels: int, radius: int) -> int:
+    _, _, window = _aligned_geometry(taps, levels, radius)
+    return _round_up(max(length, window, 8), 8)
+
+
+def _pyr_a_pm_pallas_fwd(vol_t, x, taps: int, levels: int, interpret: bool):
+    length, r = vol_t.shape
+    radius = (taps - 1) // 2
+    lpad = _align_lpad(length, taps, levels, radius)
+    tile = _pix_tile(lpad)
+    rpad = _round_up(max(r, 128), tile)
+    vol_p = jnp.pad(
+        vol_t.astype(jnp.float32), ((0, lpad - length), (0, rpad - r))
+    )
+    x_p = jnp.pad(x.astype(jnp.float32).reshape(1, -1), ((0, 0), (0, rpad - r)))
+    out = pl.pallas_call(
+        functools.partial(
+            _pyr_align_fwd_kernel, length=length, taps=taps, levels=levels,
+            radius=radius,
+        ),
+        grid=(rpad // tile,),
+        in_specs=[
+            pl.BlockSpec((lpad, tile), lambda i: (0, i)),
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((tile, levels * taps), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rpad, levels * taps), jnp.float32),
+        interpret=interpret,
+    )(vol_p, x_p)
+    return out[:r]
+
+
+def _pyr_a_pm_pallas_bwd(x, g, length: int, taps: int, levels: int,
+                         interpret: bool):
+    r = x.shape[0]
+    radius = (taps - 1) // 2
+    lpad = _align_lpad(length, taps, levels, radius)
+    tile = _pix_tile(lpad)
+    rpad = _round_up(max(r, 128), tile)
+    x_p = jnp.pad(x.astype(jnp.float32).reshape(1, -1), ((0, 0), (0, rpad - r)))
+    g_p = jnp.pad(g.astype(jnp.float32), ((0, rpad - r), (0, 0)))
+    dvol = pl.pallas_call(
+        functools.partial(
+            _pyr_align_bwd_kernel, length=length, taps=taps, levels=levels,
+            radius=radius,
+        ),
+        grid=(rpad // tile,),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
+            pl.BlockSpec((tile, levels * taps), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((lpad, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((lpad, rpad), jnp.float32),
+        interpret=interpret,
+    )(x_p, g_p)
+    return dvol[:length, :r]
+
+
+if _HAS_PALLAS:
+    _pyr_a_pm_fwd_sharded = custom_partitioning(
+        _pyr_a_pm_pallas_fwd, static_argnums=(2, 3, 4)
+    )
+    _p, _i = _pm_partition(_pyr_a_pm_pallas_fwd, (1, 0), 0, n_static=3)
+    _pyr_a_pm_fwd_sharded.def_partition(
+        partition=_p,
+        infer_sharding_from_operands=_i,
+        sharding_rule="l r, r -> r t",
+        need_replication_factors=("l", "t"),
+    )
+
+    _pyr_a_pm_bwd_sharded = custom_partitioning(
+        _pyr_a_pm_pallas_bwd, static_argnums=(2, 3, 4, 5)
+    )
+    _p, _i = _pm_partition(_pyr_a_pm_pallas_bwd, (0, 0), 1, n_static=4)
+    _pyr_a_pm_bwd_sharded.def_partition(
+        partition=_p,
+        infer_sharding_from_operands=_i,
+        sharding_rule="r, r g -> l r",
+        need_replication_factors=("g", "l"),
+    )
+else:  # pragma: no cover
+    _pyr_a_pm_fwd_sharded = _pyr_a_pm_bwd_sharded = None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def gather_pyramid_aligned_pm(
+    vol_t: jnp.ndarray, x: jnp.ndarray, taps: int, levels: int,
+    interpret: bool = False,
+):
+    """Barrel-shift-aligned pyramid lookup, pixel-major output.
+
+    vol_t: [L, R] (disparity-major, pixels on lanes); x: [R] level-0
+    positions — level lvl samples taps at base_lvl + k, base_lvl =
+    x * 2^-lvl - radius, radius = (taps-1)//2 (exactly pyramid_lookup's
+    tap geometry, geometry.py:41-53).  Returns [R, levels*taps] fp32,
+    level-major tap blocks per pixel; out-of-range taps are zero.  Level
+    lvl reads the avg-pool-by-2^lvl of each column (floor truncation,
+    geometry.py:24-28) derived in-kernel from one per-lane barrel roll.
+    Positions are non-differentiable.  Partitions over R under GSPMD."""
+    return _pyr_a_pm_fwd_sharded(vol_t, x, taps, levels, interpret)
+
+
+def _gpa_fwd(vol_t, x, taps, levels, interpret):
+    return _pyr_a_pm_fwd_sharded(vol_t, x, taps, levels, interpret), (
+        x,
+        vol_t.shape[0],
+    )
+
+
+def _gpa_bwd(taps, levels, interpret, res, g):
+    x, length = res
+    return _pyr_a_pm_bwd_sharded(x, g, length, taps, levels, interpret), None
+
+
+gather_pyramid_aligned_pm.defvjp(_gpa_fwd, _gpa_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -100,12 +100,15 @@ class TestWindowKernel:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                    atol=1e-5)
 
-    def test_pyramid_lookup_pallas_impl_matches_jnp(self, rng):
-        """End-to-end pyramid lookup parity between impls (interpret mode)."""
+    def test_pyramid_lookup_pallas_impl_matches_jnp(self, rng, monkeypatch):
+        """End-to-end pyramid lookup parity between impls (interpret mode),
+        pinned to the classify kernel flavor (the aligned flavor has its own
+        end-to-end test in TestAlignedPyramidKernel)."""
         from anystereo_tpu.ops.cost_volume import all_pairs_correlation
         from anystereo_tpu.ops.lookup import build_pyramid, pyramid_lookup
         import anystereo_tpu.ops.lookup as lookup_mod
 
+        monkeypatch.setenv("ANYSTEREO_LOOKUP_KERNEL", "classify")
         b, h, w, c, g, d = 1, 4, 16, 8, 2, 8
         fl = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
         fr = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
@@ -369,3 +372,156 @@ class TestShardedKernel:
         np.testing.assert_allclose(
             np.asarray(dv), np.asarray(dref), rtol=1e-5, atol=1e-5
         )
+
+
+class TestAlignedPyramidKernel:
+    """gather_pyramid_aligned_pm (barrel-shift alignment): parity against
+    the explicit pool+window oracle, including odd-length truncation,
+    far-out-of-range positions (clamp path), tiny volumes (L < window),
+    and the custom-VJP backward."""
+
+    @staticmethod
+    def _oracle(vol, x, k, levels):
+        from anystereo_tpu.ops.sampling import pool_half_last
+
+        r = (k - 1) // 2
+        lv, outs = vol, []
+        for i in range(levels):
+            base = x[:, None] * (2.0 ** -i) - r
+            pos = base + jnp.arange(k, dtype=jnp.float32)
+            outs.append(gather_1d_linear(lv, pos))
+            lv = pool_half_last(lv)
+        return jnp.concatenate(outs, axis=-1)
+
+    @pytest.mark.parametrize(
+        "r_,l,k,levels",
+        [(40, 48, 9, 2), (64, 45, 9, 2), (16, 24, 5, 3), (8, 9, 9, 2)],
+    )
+    def test_fwd_matches_oracle(self, rng, r_, l, k, levels):
+        from anystereo_tpu.ops.pallas.lookup_kernel import (
+            gather_pyramid_aligned_pm,
+        )
+
+        vol = jnp.asarray(rng.randn(r_, l).astype(np.float32))
+        # positions spanning in-range, partially-valid and fully-dead lanes
+        x = jnp.asarray(
+            (rng.rand(r_).astype(np.float32) * (l + 40)) - 20
+        )
+        want = self._oracle(vol, x, k, levels)
+        got = gather_pyramid_aligned_pm(vol.T, x, k, levels, True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    def test_far_out_of_range_all_zero(self, rng):
+        from anystereo_tpu.ops.pallas.lookup_kernel import (
+            gather_pyramid_aligned_pm,
+        )
+
+        l, k, levels = 48, 9, 2
+        vol = jnp.asarray(rng.randn(8, l).astype(np.float32))
+        x = jnp.asarray([-1e6, -500.0, 1e6, 500.0, 1e30, -1e30, 97.0, -30.0],
+                        jnp.float32)
+        got = np.asarray(gather_pyramid_aligned_pm(vol.T, x, k, levels, True))
+        want = np.asarray(self._oracle(vol, x, k, levels))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_integer_positions_exact(self, rng):
+        from anystereo_tpu.ops.pallas.lookup_kernel import (
+            gather_pyramid_aligned_pm,
+        )
+
+        l, k, levels = 32, 9, 2
+        vol = jnp.asarray(rng.randn(12, l).astype(np.float32))
+        x = jnp.asarray(rng.randint(0, l, size=12).astype(np.float32))
+        got = np.asarray(gather_pyramid_aligned_pm(vol.T, x, k, levels, True))
+        want = np.asarray(self._oracle(vol, x, k, levels))
+        np.testing.assert_array_equal(got[:, :k], want[:, :k])  # level 0 exact
+
+    def test_vjp_matches_oracle(self, rng):
+        from anystereo_tpu.ops.pallas.lookup_kernel import (
+            gather_pyramid_aligned_pm,
+        )
+
+        r_, l, k, levels = 24, 45, 9, 2  # odd length
+        vol = jnp.asarray(rng.randn(r_, l).astype(np.float32))
+        x = jnp.asarray((rng.rand(r_).astype(np.float32) * (l + 20)) - 10)
+        g = jnp.asarray(rng.randn(r_, levels * k).astype(np.float32))
+
+        want = jax.grad(lambda v: (self._oracle(v, x, k, levels) * g).sum())(vol)
+        got = jax.grad(
+            lambda vt: (gather_pyramid_aligned_pm(vt, x, k, levels, True) * g).sum()
+        )(vol.T).T
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    def test_pyramid_lookup_aligned_matches_jnp(self, rng, monkeypatch):
+        """End-to-end: pyramid_lookup with the aligned flavor forced equals
+        the jnp fallback (IGEV config: GEV + corr, 2 levels, radius 4)."""
+        from anystereo_tpu.ops import lookup as lk
+
+        monkeypatch.setenv("ANYSTEREO_LOOKUP_KERNEL", "aligned")
+        b, h, w, g, d = 1, 6, 20, 4, 16
+        corr = jnp.asarray(rng.randn(b, h, w, w).astype(np.float32))
+        geo = jnp.asarray(rng.randn(b, h, w, g, d).astype(np.float32))
+        pyr = lk.build_pyramid(corr, geo, 2, 4)
+        disp = jnp.asarray(rng.rand(b, h, w).astype(np.float32) * d)
+        want = lk.pyramid_lookup(pyr, disp, impl="jnp")
+        lk.set_impl_override("pallas", interpret=True)
+        try:
+            got = lk.pyramid_lookup(pyr, disp)
+        finally:
+            lk.set_impl_override(None)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-5
+        )
+
+    def test_partitions_without_allgather(self, rng):
+        import re
+
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from anystereo_tpu.ops.pallas.lookup_kernel import (
+            gather_pyramid_aligned_pm,
+        )
+
+        devices = np.array(jax.devices()[:8])
+        if devices.size < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(devices.reshape(8), ("spatial",))
+        r_, l, levels, k = 8 * 32, 24, 2, 5
+        vol_np = rng.rand(l, r_).astype(np.float32)
+        x_np = (rng.rand(r_) * 30 - 3).astype(np.float32)
+        g_np = rng.rand(r_, levels * k).astype(np.float32)
+        vol_t = jax.device_put(jnp.asarray(vol_np),
+                               NamedSharding(mesh, P(None, "spatial")))
+        x = jax.device_put(jnp.asarray(x_np), NamedSharding(mesh, P("spatial")))
+        g_sh = jax.device_put(jnp.asarray(g_np),
+                              NamedSharding(mesh, P("spatial", None)))
+
+        f = jax.jit(lambda v, xx: gather_pyramid_aligned_pm(v, xx, k, levels, True))
+        hlo = f.lower(vol_t, x).compile().as_text()
+        assert not re.search(r"all-gather", hlo)
+        out = f(vol_t, x)
+        want = TestAlignedPyramidKernel._oracle(
+            jnp.asarray(vol_np.T), jnp.asarray(x_np), k, levels
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+        gradf = jax.jit(
+            jax.grad(
+                lambda v: (gather_pyramid_aligned_pm(v, x, k, levels, True) * g_sh).sum()
+            )
+        )
+        hlo = gradf.lower(vol_t).compile().as_text()
+        assert not re.search(r"all-gather", hlo)
+        dv = gradf(vol_t)
+        dref = jax.grad(
+            lambda v: (
+                TestAlignedPyramidKernel._oracle(v, jnp.asarray(x_np), k, levels)
+                * jnp.asarray(g_np)
+            ).sum()
+        )(jnp.asarray(vol_np.T)).T
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(dref),
+                                   rtol=1e-4, atol=1e-5)
