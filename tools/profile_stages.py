@@ -39,6 +39,10 @@ def main():
                     help="force a jax platform (e.g. cpu for CI dry-runs; the "
                          "JAX_PLATFORMS env var is overridden by the axon site "
                          "hook, only jax.config works)")
+    ap.add_argument("--cost-breakdown", action="store_true",
+                    help="additionally split the cost stage into GWC/corr "
+                         "build vs 3-D aggregation vs regression+pyramid "
+                         "(two extra compiles)")
     args = ap.parse_args()
     if args.k < 2:
         ap.error("--k must be >= 2 (K-vs-1 differencing)")
@@ -123,6 +127,27 @@ def main():
     results = {}
     results["matching"] = dev_time(m_matching, "matching features + stems")
     results["matching+cost"] = dev_time(m_cost, "  + cost stage (GWC/hourglass)")
+    if args.cost_breakdown and cfg.core.name == "IGEV":
+        from anystereo_tpu.ops.cost_volume import build_gwc_and_corr
+
+        def m_build(mdl, l, r):
+            ln, rn = norm(mdl, l, r)
+            match_l, match_r, feats_l, stems = mdl._matching(ln, rn)
+            return build_gwc_and_corr(
+                match_l, match_r, cfg.volume_disp, cfg.gwc_groups
+            )
+
+        def m_agg(mdl, l, r):
+            ln, rn = norm(mdl, l, r)
+            match_l, match_r, feats_l, stems = mdl._matching(ln, rn)
+            gwc, corr = build_gwc_and_corr(
+                match_l, match_r, cfg.volume_disp, cfg.gwc_groups
+            )
+            vol = jnp.transpose(gwc, (0, 4, 1, 2, 3)).astype(mdl._dt)
+            return mdl.cost_agg(vol, feats_l), corr
+
+        results["matching+build"] = dev_time(m_build, "  + GWC/corr build only")
+        results["matching+agg"] = dev_time(m_agg, "  + 3-D aggregation")
     results["context"] = dev_time(m_context, "context encoder + gates")
     it_lo, it_hi = max(1, args.iters // 4), args.iters
     results[f"lowres@{it_lo}"] = dev_time(
@@ -139,6 +164,19 @@ def main():
     one_time = results[f"lowres@{it_lo}"] - it_lo * per_iter
     decode = results[f"full@{it_hi}"] - results[f"lowres@{it_hi}"]
     cost_only = results["matching+cost"] - results["matching"]
+    breakdown = {}
+    if "matching+build" in results:
+        breakdown = {
+            "cost_build_ms": round(
+                (results["matching+build"] - results["matching"]) * 1000, 2
+            ),
+            "cost_agg_ms": round(
+                (results["matching+agg"] - results["matching+build"]) * 1000, 2
+            ),
+            "cost_reg_pyr_ms": round(
+                (results["matching+cost"] - results["matching+agg"]) * 1000, 2
+            ),
+        }
     summary = {
         "config": f"IGEV eval {h}x{w} iters={it_hi} maxdisp={cfg.max_disp}"
         + (f" overrides={overrides}" if overrides else ""),
@@ -150,6 +188,7 @@ def main():
         "context_ms": round(results["context"] * 1000, 2),
         "full_ms": round(results[f"full@{it_hi}"] * 1000, 2),
         "pairs_per_sec": round(1.0 / results[f"full@{it_hi}"], 3),
+        **breakdown,
     }
     print(json.dumps(summary))
 
