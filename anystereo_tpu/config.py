@@ -251,6 +251,9 @@ class TrainConfig:
     train_iters: int = 16
     valid_iters: int = 32
     grad_clip: float = 1.0
+    # skip (no-op) any update whose grads contain inf/NaN — the bf16-TPU
+    # analog of the reference's AMP GradScaler step-skip (:232-239)
+    skip_nonfinite: bool = True
     loss_gamma: float = 0.9  # sequence-loss base, exponent 15/(N-1)
     supervise_init: bool = False  # add smooth-L1 on the regressed init disparity
     max_disp_loss: float = 700.0  # GT validity ceiling in the loss

@@ -35,7 +35,9 @@ def epe_metric(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.nda
 
 def d1_metric(pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     err = jnp.abs(pred - gt)
-    bad = (err > 3.0) & (err > 0.05 * jnp.abs(gt))
+    # written as ~(ok) so a non-finite prediction counts as BAD — `err > 3`
+    # would compare NaN as False and score a diverged model as perfect
+    bad = ~((err <= 3.0) | (err <= 0.05 * jnp.abs(gt)))
     return _per_image_masked_mean(bad.astype(jnp.float32), mask)
 
 
@@ -43,7 +45,8 @@ def thres_metric(
     pred: jnp.ndarray, gt: jnp.ndarray, mask: jnp.ndarray, thres: float
 ) -> jnp.ndarray:
     err = jnp.abs(pred - gt)
-    return _per_image_masked_mean((err > thres).astype(jnp.float32), mask)
+    # ~(err <= t): non-finite error counts as over-threshold (see d1_metric)
+    return _per_image_masked_mean((~(err <= thres)).astype(jnp.float32), mask)
 
 
 def mask_cover_ok(mask: jnp.ndarray, valid: jnp.ndarray, frac: float = 0.01) -> bool:
@@ -102,8 +105,13 @@ class AverageMeterDict:
 
     def update(self, d: Dict[str, float]) -> None:
         for k, v in d.items():
-            if v is None or not np.isfinite(v):
+            if v is None:
                 continue
+            # non-finite values are summed, not dropped: a NaN per-image
+            # metric must surface as a NaN mean (the reference's meter,
+            # experiment.py:112-153, sums unconditionally) — silently
+            # skipping them once made an all-NaN run lose its `epe` key
+            # and report d1=0.0, i.e. a diverged model scored as perfect
             self.sums[k] = self.sums.get(k, 0.0) + float(v)
             self.counts[k] = self.counts.get(k, 0) + 1
 

@@ -43,9 +43,20 @@ def make_optimizer(
     num_steps: int = 100_000,
     grad_clip: float = 1.0,
     pct_start: float = 0.01,
+    skip_nonfinite: bool = True,
 ) -> optax.GradientTransformation:
     sched = one_cycle_schedule(lr, num_steps, pct_start)
-    return optax.chain(
+    opt = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay),
     )
+    if skip_nonfinite:
+        # the reference's AMP GradScaler skips any step whose grads contain
+        # inf/NaN (train_continuous_IGEV.py:232-239, scaler.step after
+        # unscale_); bf16-on-TPU needs no loss scale, but without this
+        # guard a single non-finite batch poisons the params permanently
+        # (observed: the 2k-step synthetic run went all-NaN).  The wrapper
+        # makes such steps a no-op and counts them in
+        # opt_state.notfinite_count.
+        opt = optax.apply_if_finite(opt, max_consecutive_errors=1000)
+    return opt

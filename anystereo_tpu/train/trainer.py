@@ -165,6 +165,7 @@ def train(
             cfg.train.num_steps,
             cfg.train.grad_clip,
             cfg.train.warmup_frac,
+            skip_nonfinite=cfg.train.skip_nonfinite,
         )
         import os
 

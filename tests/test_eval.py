@@ -66,6 +66,23 @@ class TestMetrics:
         am.update({"epe": 3.0, "d1": 0.5})
         assert am.mean() == {"epe": 2.0, "d1": 0.5}
 
+    def test_nan_predictions_surface_as_failure(self):
+        """A diverged (NaN) prediction must NOT score as perfect: error-rate
+        metrics count non-finite error as bad, EPE propagates NaN, and the
+        meter's mean stays NaN instead of dropping the key (regression for
+        the 2k-step e2e run that reported d1=0.0 with all-NaN output)."""
+        pred = jnp.full((1, 2, 2), jnp.nan)
+        gt = jnp.ones((1, 2, 2))
+        mask = jnp.ones((1, 2, 2), bool)
+        assert float(d1_metric(pred, gt, mask)) == pytest.approx(1.0)
+        assert float(thres_metric(pred, gt, mask, 3.0)) == pytest.approx(1.0)
+        assert not np.isfinite(float(epe_metric(pred, gt, mask)))
+        am = AverageMeterDict()
+        am.update({"epe": float("nan"), "d1": 1.0})
+        am.update({"epe": 2.0, "d1": 1.0})
+        means = am.mean()
+        assert not np.isfinite(means["epe"]) and means["d1"] == 1.0
+
 
 class TestPadder:
     @pytest.mark.parametrize("mode", ["sintel", "kitti"])

@@ -92,6 +92,23 @@ class TestOptimizer:
         # clipped: update magnitude bounded by lr-scale, not 100-scale
         assert float(jnp.abs(updates["w"]).max()) < 1.0
 
+    def test_nonfinite_grads_skip_update(self):
+        """The GradScaler-analog guard (train_continuous_IGEV.py:232-239):
+        a NaN/inf gradient makes the step a no-op instead of poisoning the
+        params, and recovery on the next finite step works."""
+        tx = make_optimizer(lr=1e-3, grad_clip=1.0, num_steps=100)
+        params = {"w": jnp.ones((3,))}
+        state = tx.init(params)
+        bad = {"w": jnp.asarray([1.0, jnp.nan, 1.0])}
+        updates, state = tx.update(bad, state, params)
+        assert float(jnp.abs(updates["w"]).max()) == 0.0  # no-op step
+        assert int(state.notfinite_count) == 1
+        good = {"w": jnp.full((3,), 0.5)}
+        updates, state = tx.update(good, state, params)
+        assert jnp.isfinite(updates["w"]).all()
+        assert float(jnp.abs(updates["w"]).max()) > 0.0
+        assert int(state.notfinite_count) == 0
+
 
 @pytest.fixture(scope="module")
 def tiny_train_setup():
