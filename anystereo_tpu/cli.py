@@ -172,11 +172,22 @@ def cmd_evaluate(argv):
     _add_model_flags(p)
     p.add_argument("--dataset", default="sceneflow",
                    choices=["sceneflow", "kitti15", "kitti12", "eth3d",
-                            "middlebury_F", "middlebury_H", "middlebury_Q"])
+                            "middlebury_F", "middlebury_H", "middlebury_Q",
+                            "middlebury_Q_F", "middlebury_H_F",
+                            "middlebury_2014"])
     p.add_argument("--data-root", required=True)
     p.add_argument("--ckpt", required=True)
     p.add_argument("--valid-iters", type=int, default=32)
     p.add_argument("--scale-test", type=float, default=1.0)
+    p.add_argument("--multi-evaothers", action="store_true",
+                   help="reference --multi_evaothers: bicubic-downscale "
+                        "inputs by scale-test, infer plainly, and bicubic-"
+                        "upscale the disparity back — the non-LIIF "
+                        "comparison baseline (evaluation_validate.py:109-118)")
+    p.add_argument("--shape-buckets", type=int, default=None,
+                   help="pad images up to multiples of this (e.g. 64) so "
+                        "mixed-size datasets share compiled executables; "
+                        "must be a multiple of the model divis")
     args = p.parse_args(argv)
 
     from anystereo_tpu.eval.validate import run_validation
@@ -188,6 +199,8 @@ def cmd_evaluate(argv):
         data_root=args.data_root,
         valid_iters=args.valid_iters,
         scale_test=args.scale_test,
+        eval_others=args.multi_evaothers,
+        bucket=args.shape_buckets,
     )
     for k, v in sorted(results.items()):
         print(f"{k}: {v:.4f}")

@@ -21,10 +21,16 @@ import numpy as np
 
 def _per_image_masked_mean(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Mean over valid pixels per image, then mean over images that have any
-    valid pixel (the reference averages per-image via the decorator)."""
+    valid pixel (the reference averages per-image via the decorator).
+
+    Masked-out values are dropped with `where`, not multiplied by 0: the
+    reference boolean-indexes (`disp_est[mask]`) so an inf GT at an
+    INVALID pixel never enters the sum — `inf * 0 = NaN` would poison the
+    whole mean (Middlebury/ETH3D PFMs encode missing GT as inf)."""
     m = mask.astype(jnp.float32)
     axes = tuple(range(1, value.ndim))
-    per_img = (value * m).sum(axes) / jnp.maximum(m.sum(axes), 1.0)
+    value = jnp.where(m > 0, value, 0.0)
+    per_img = value.sum(axes) / jnp.maximum(m.sum(axes), 1.0)
     has = (m.sum(axes) > 0).astype(jnp.float32)
     return (per_img * has).sum() / jnp.maximum(has.sum(), 1.0)
 

@@ -9,9 +9,20 @@ protocol (pad_for_multi_train, :66-90) bicubic-downscales the inputs by
 scale_test and queries the original-resolution grid, exercising the
 implicit decoder's super-resolution path.
 
+Valid-mask semantics: KITTI/SceneFlow take validity from the dataset
+reader (sparse PNG > 0 / finite PFM).  Middlebury and ETH3D must NOT — the
+reference's valid mask there is `(valid_gt >= -0.5) & (disp_gt < 1000)`
+(evaluation_validate.py:164-166, :480-482), and since valid_gt is a 0/1
+mask the first clause is vacuous: "all" means every pixel with finite GT
+< 1000 INCLUDING occluded ones.  Conflating validity with the reader's
+nocc mask silently turns "all" metrics into noc-only and empties the occ
+subset; `valid_from_gt=True` selects the correct GT-derived validity.
+
 Occlusion splits: KITTI compares disp_occ vs disp_noc GT (:271-282);
-Middlebury/ETH3D use mask0nocc (=the reader's valid); SceneFlow uses the
-LR-consistency check (eval.occlusion.occ_mask) when right-view GT exists.
+Middlebury/ETH3D read mask0nocc.png beside disp0GT.pfm (:161-166,
+:479-480); SceneFlow uses the LR-consistency check
+(eval.occlusion.occ_mask) when right-view GT exists.  Middlebury 2014
+(disp0.pfm) has no occlusion GT — the provider returns None there.
 """
 
 from __future__ import annotations
@@ -147,23 +158,27 @@ def sceneflow_occ_provider(dataset, index) -> Optional[np.ndarray]:
 
 
 def nocc_mask_occ_provider(dataset, index) -> Optional[np.ndarray]:
-    """Middlebury/ETH3D: occluded = complement of the mask0nocc mask.
+    """Middlebury/ETH3D: occluded = complement of the mask0nocc mask, read
+    from mask0nocc.png beside disp0GT.pfm exactly as the reference eval
+    does (evaluation_validate.py:161-166, :479-480; the `==255` test
+    matches its `occ_mask==255`).
 
-    Middlebury's reader already returns (disp, nocc)
-    (evaluation_validate.py:478-483); ETH3D uses the bare PFM reader (its
-    valid semantics are disp-based, stereo_datasets.py:317-327), so read
-    mask0nocc.png from beside disp0GT.pfm as the reference eval does
-    (evaluation_validate.py:161-166)."""
-    disp = dataset.reader(dataset.disparity_list[index])
-    if isinstance(disp, tuple):
-        _, nocc = disp
-        return ~np.asarray(nocc, bool)
+    Middlebury 2014 (disp0.pfm) ships no occlusion GT — its reader tuple's
+    second element is a disp<1e3 validity mask, NOT a nocc mask, so return
+    None rather than mislabel invalid pixels as occluded.  The tuple
+    fallback remains for readers that genuinely return (disp, nocc)."""
     path = dataset.disparity_list[index]
     mask_path = path.replace("disp0GT.pfm", "mask0nocc.png")
     if mask_path != path and os.path.exists(mask_path):
         from PIL import Image
 
-        return np.asarray(Image.open(mask_path)) != 255
+        return np.asarray(Image.open(mask_path).convert("L")) != 255
+    if os.path.basename(path) == "disp0.pfm":
+        return None
+    disp = dataset.reader(path)
+    if isinstance(disp, tuple):
+        _, nocc = disp
+        return ~np.asarray(nocc, bool)
     return None
 
 
@@ -177,12 +192,23 @@ def _as_variables(params):
 
 class Validator:
     """Caches one jitted eval function per padded shape (per-image loop has
-    a handful of shape buckets per dataset)."""
+    a handful of shape buckets per dataset).
 
-    def __init__(self, model: AnyStereo, params, valid_iters: int = 32):
+    bucket: round padded shapes up to multiples of `bucket` (must be a
+    multiple of the model's divis) so mixed-size datasets (Middlebury 2014,
+    ETH3D) share compiled executables instead of paying a fresh XLA compile
+    per distinct image shape.  The extra rows/cols are replicate-edge
+    padding and the decode grid still crops to the original extent, so
+    results match the unbucketed protocol up to border-context effects
+    (metrics typically shift < 1%); off by default to keep the reference
+    protocol bit-for-bit."""
+
+    def __init__(self, model: AnyStereo, params, valid_iters: int = 32,
+                 bucket: Optional[int] = None):
         self.model = model
         self.params = params
         self.valid_iters = valid_iters
+        self.bucket = bucket
         self._fns = {}
 
     def _fn(self, shape, q):
@@ -219,10 +245,53 @@ class Validator:
         return self._fns[key]
 
     def infer(self, left: np.ndarray, right: np.ndarray, scale_test: float = 1.0,
-              divis: int = 32, fixed_upscale: Optional[int] = None) -> np.ndarray:
+              divis: int = 32, fixed_upscale: Optional[int] = None,
+              eval_others: bool = False) -> np.ndarray:
         """left/right [H, W, 3] → disparity at original resolution (or
         fixed_upscale x it — the Middlebury Q→F/H→F protocol); gather-free
-        dense decode."""
+        dense decode.
+
+        eval_others: the reference's `multi_evaothers` comparison protocol
+        (pad_for_muti_other, evaluation_validate.py:109-118 + :147-154):
+        bicubic-downscale the inputs by scale_test, run PLAIN full-res
+        inference on the LR pair, multiply the disparity by scale_test and
+        bicubic-upscale back to the original grid — the non-LIIF baseline
+        any implicit-decoder superiority claim is measured against."""
+        if self.bucket is not None and not (eval_others and scale_test > 1):
+            # Bucketed path: pad H/W up to bucket multiples AND decode the
+            # FULL padded grid, cropping host-side — both the input and the
+            # output shapes then repeat across images, so one XLA compile
+            # serves the whole bucket.  The decode is per-query, so the
+            # crop is exact; only the replicate-edge border context differs
+            # from the minimal-padding protocol.
+            assert self.bucket % divis == 0, (self.bucket, divis)
+            assert scale_test == 1.0, \
+                "shape bucketing supports scale_test=1 / fixed-upscale only"
+            up = 1 if fixed_upscale is None else int(fixed_upscale)
+            padder = InputPadder(left[None].shape, divis_by=self.bucket)
+            lp, rp = padder.pad(
+                jnp.asarray(left[None].astype(np.float32)),
+                jnp.asarray(right[None].astype(np.float32)),
+            )
+            t, b, l, r = padder.get_pad_num()
+            hp, wp = lp.shape[1] * up, lp.shape[2] * up
+            ys = jnp.asarray(_axis_centers_np(hp))
+            xs = jnp.asarray(_axis_centers_np(wp))
+            fn = self._fn(tuple(lp.shape), (hp, wp))
+            disp = fn(self.params, lp, rp, ys, xs,
+                      jnp.asarray([float(up)], jnp.float32))
+            disp = np.asarray(disp).reshape(hp, wp)
+            return disp[t * up : hp - b * up, l * up : wp - r * up]
+        if eval_others and scale_test > 1:
+            h, w = left.shape[:2]
+            h_lr = int(math.ceil(h / float(scale_test)))
+            w_lr = int(math.ceil(w / float(scale_test)))
+            left_lr = cv2.resize(left, (w_lr, h_lr), interpolation=cv2.INTER_CUBIC)
+            right_lr = cv2.resize(right, (w_lr, h_lr), interpolation=cv2.INTER_CUBIC)
+            pred_lr = self.infer(left_lr, right_lr, 1.0, divis)
+            return cv2.resize(
+                pred_lr * float(scale_test), (w, h), interpolation=cv2.INTER_CUBIC
+            )
         if fixed_upscale is not None:
             # divis must follow the model family here too (IGEV's hourglass
             # needs 32-divisible padding; 16 crashes its level-2 skip concat
@@ -254,20 +323,39 @@ def validate_dataset(
     report_dir: Optional[str] = None,
     dump_images: bool = False,
     occ_provider=None,
+    valid_from_gt: bool = False,
+    eval_others: bool = False,
+    bucket: Optional[int] = None,
 ) -> Dict[str, float]:
     """Generic per-image validation driver over a StereoDataset (no
     augmentor).  `dataset` must yield full-resolution samples; with
     fixed_upscale, GT must be at upscale x the input resolution.
     report_dir enables result.txt (+ colored PNG / error-map dumps with
-    dump_images) — the reference's --record/--output flags."""
-    vd = Validator(model, params, valid_iters)
+    dump_images) — the reference's --record/--output flags.
+
+    valid_from_gt: derive validity from the GT itself over ALL pixels
+    (finite ∧ >0 ∧ <max_disp — evaluation_validate.py:480-482's
+    `(valid_gt>=-0.5)&(disp_gt<1000)` with the vacuous first clause
+    dropped), NOT from the reader's valid channel.  Required for
+    Middlebury/ETH3D whose readers surface the nocc mask as `valid`:
+    using it would make "all" metrics noc-only and the occ subset empty.
+
+    eval_others: the reference's `multi_evaothers` bicubic-upscale
+    comparison protocol (see Validator.infer).  bucket: shape-bucketed
+    padding to cap per-shape XLA compiles on mixed-size datasets (see
+    Validator)."""
+    vd = Validator(model, params, valid_iters, bucket=bucket)
     meter = AverageMeterDict()
     n = len(dataset) if max_images is None else min(len(dataset), max_images)
     for i in range(n):
         img1, img2, flow, valid = dataset._load_raw(i)
         gt = flow[..., 0]
-        pred = vd.infer(img1, img2, scale_test, divis, fixed_upscale)
-        vmask = (np.asarray(valid) > 0) & (gt > 0) & (gt < max_disp)
+        pred = vd.infer(img1, img2, scale_test, divis, fixed_upscale,
+                        eval_others=eval_others)
+        if valid_from_gt:
+            vmask = np.isfinite(gt) & (gt > 0) & (gt < max_disp)
+        else:
+            vmask = (np.asarray(valid) > 0) & (gt > 0) & (gt < max_disp)
         occ = occ_provider(dataset, i) if occ_provider is not None else None
         m = compute_metrics(
             jnp.asarray(pred)[None],
@@ -306,9 +394,10 @@ def validate_dataset(
 
 def build_eval_dataset(dataset: str, data_root: str):
     """Resolve a validation-dataset name to (dataset, fixed_upscale,
-    occ_provider) — shared by the standalone evaluator and the in-training
-    validation hook (the reference's validate_* dispatch,
-    train_continuous_IGEV.py:242-264)."""
+    occ_provider, valid_from_gt) — shared by the standalone evaluator and
+    the in-training validation hook (the reference's validate_* dispatch,
+    train_continuous_IGEV.py:242-264).  valid_from_gt is True for
+    Middlebury/ETH3D (see validate_dataset)."""
     from anystereo_tpu.data.datasets import (
         ETH3D,
         KittiMixed,
@@ -340,13 +429,15 @@ def build_eval_dataset(dataset: str, data_root: str):
         raise ValueError(dataset)
 
     occ_provider = None
+    valid_from_gt = False
     if dataset.startswith("kitti"):
         occ_provider = kitti_occ_provider
     elif dataset.startswith("middlebury") or dataset == "eth3d":
         occ_provider = nocc_mask_occ_provider
+        valid_from_gt = True
     elif dataset == "sceneflow":
         occ_provider = sceneflow_occ_provider
-    return ds, fixed_upscale, occ_provider
+    return ds, fixed_upscale, occ_provider, valid_from_gt
 
 
 def make_train_validate_fn(
@@ -360,14 +451,16 @@ def make_train_validate_fn(
     reference's in-training validation every valid_fre steps
     (train_continuous_IGEV.py:242-264).  The returned callable runs the
     held-out split with the CURRENT params and returns the metric dict."""
-    ds, fixed_upscale, occ_provider = build_eval_dataset(dataset, data_root)
+    ds, fixed_upscale, occ_provider, valid_from_gt = build_eval_dataset(
+        dataset, data_root
+    )
     divis = 32 if model.cfg.core is CoreType.IGEV else 16
 
     def validate_fn(state, step: int) -> Dict[str, float]:
         return validate_dataset(
             model, jax.device_get(state.params), ds, valid_iters,
             divis=divis, max_images=max_images, fixed_upscale=fixed_upscale,
-            occ_provider=occ_provider,
+            occ_provider=occ_provider, valid_from_gt=valid_from_gt,
         )
 
     return validate_fn
@@ -381,11 +474,15 @@ def run_validation(
     valid_iters: int = 32,
     scale_test: float = 1.0,
     max_images: Optional[int] = None,
+    eval_others: bool = False,
+    bucket: Optional[int] = None,
 ) -> Dict[str, float]:
     """CLI wrapper: build dataset + model, restore weights, validate."""
     from anystereo_tpu.train.state import restore_eval_variables
 
-    ds, fixed_upscale, occ_provider = build_eval_dataset(dataset, data_root)
+    ds, fixed_upscale, occ_provider, valid_from_gt = build_eval_dataset(
+        dataset, data_root
+    )
     model = AnyStereo(model_cfg)
     sample1, sample2, _, _ = ds._load_raw(0)
     lp, rp, ys, xs, s = pad_for_dense_grid(
@@ -411,5 +508,6 @@ def run_validation(
     return validate_dataset(
         model, eval_vars, ds, valid_iters, scale_test, divis,
         max_images=max_images, fixed_upscale=fixed_upscale,
-        occ_provider=occ_provider,
+        occ_provider=occ_provider, valid_from_gt=valid_from_gt,
+        eval_others=eval_others, bucket=bucket,
     )

@@ -66,7 +66,12 @@ def pipelined_per_call(apply_fn, args, k: int = 6, reps: int = 2):
     `jax.block_until_ready` is unreliable on the tunneled axon platform
     (measured returning in 0.4 ms for a 5.7 s graph).
 
-    Returns (per_call_s, aux) with aux = {"t1", "tk", "compile_s"}.
+    Returns (per_call_s, aux) with aux = {"t1", "tk", "compile_s",
+    "first_out"}.  `first_out` is the (device-resident) output pytree of
+    the FIRST scan iteration (carry = 0) — callers must allclose it
+    against a direct apply_fn(0, *args) so a wrong-but-finite numerical
+    regression in the chained steady-state path cannot post a good
+    number while computing garbage.
     """
     if k < 2:
         raise ValueError(f"k-vs-1 differencing needs k >= 2, got k={k}")
@@ -82,28 +87,43 @@ def pipelined_per_call(apply_fn, args, k: int = 6, reps: int = 2):
                 )
                 return c + s, ()
 
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
-            return c
+            def first(c, _):
+                # first iteration also surfaces its outputs for the
+                # caller's chained-vs-direct validation
+                outs = apply_fn(c, *a)
+                s = sum(
+                    jnp.sum(x.astype(jnp.float32)) * 1e-20
+                    for x in jax.tree_util.tree_leaves(outs)
+                )
+                return c + s, outs
+
+            c0 = jnp.float32(0)
+            c0, outs0 = first(c0, None)
+            if n > 1:
+                c0, _ = jax.lax.scan(body, c0, None, length=n - 1)
+            return c0, outs0
 
         return jax.jit(run)
 
     f1, fk = chain(1), chain(k)
     t0 = time.time()
-    np.asarray(f1(*args))
-    np.asarray(fk(*args))
+    c, first_out = f1(*args)
+    np.asarray(c)
+    np.asarray(fk(*args)[0])
     compile_s = time.time() - t0
 
     def best(fn):
         b = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            np.asarray(fn(*args))
+            np.asarray(fn(*args)[0])
             b = min(b, time.time() - t0)
         return b
 
     t1, tk = best(f1), best(fk)
     per = (tk - t1) / (k - 1)
-    return per, {"t1": t1, "tk": tk, "compile_s": compile_s}
+    return per, {"t1": t1, "tk": tk, "compile_s": compile_s,
+                 "first_out": first_out}
 
 
 @contextlib.contextmanager
@@ -118,7 +138,8 @@ def trace(logdir: str):
 
 # rough single-chip ceilings for TPU v5e (public figures)
 V5E_PEAK = {
-    "bf16_flops": 394e12,
+    # 197 TFLOP/s is the v5e bf16 MXU peak (394e12 is the int8 figure)
+    "bf16_flops": 197e12,
     "f32_flops": 49e12,  # MXU fp32-equivalent via passes
     "vpu_f32_flops": 1.6e12,
     "hbm_bytes_per_s": 819e9,

@@ -247,15 +247,20 @@ def build_reference_raft(
     return model, args
 
 
-def build_reference_igev(args: SimpleNamespace | None = None, seed: int = 0):
+def build_reference_igev(args: SimpleNamespace | None = None, seed: int = 0,
+                         weight_std: float = 0.1):
     """Construct the reference continuous_IGEVStereo on CPU in eval mode,
     with every tensor (weights AND BatchNorm running stats) randomized so
-    parity tests exercise non-trivial normalization statistics."""
+    parity tests exercise non-trivial normalization statistics.
+
+    weight_std: pass a small value (e.g. 0.03, as build_reference_raft
+    defaults to) to tame the GRU feedback loop's fp-noise Lyapunov growth
+    and make FULL-trajectory multi-iteration comparisons meaningful."""
     import torch
 
     mod = load_reference_igev_modules()
     if args is None:
         args = default_igev_args()
     torch.manual_seed(seed)
-    model = _randomize_state(mod.continuous_IGEVStereo(args), seed)
+    model = _randomize_state(mod.continuous_IGEVStereo(args), seed, weight_std)
     return model, args

@@ -13,6 +13,18 @@ with block_until_ready.
 vs_baseline: the reference repo publishes no numbers (BASELINE.md); the
 documented stand-in is the IGEV-Stereo paper's 0.37 s/frame at KITTI
 resolution on an RTX 3090 → 2.7 pairs/s.  vs_baseline = value / 2.7.
+
+vs_baseline_a100: the north star says "≥3x frames/s/chip vs A100".  No
+A100 timing of this model exists anywhere (the reference publishes none),
+so the anchor is DERIVED from the 3090 number.  Spec ratios A100-SXM vs
+RTX 3090: HBM bandwidth 1.56-2.04 TB/s vs 0.94 TB/s (1.7-2.2x); tensor
+peak with fp32 accumulate (the AMP default) 312 vs 71 TFLOP/s (4.4x).
+Real conv-heavy AMP workloads sit near the bandwidth ratio, not the
+tensor ratio — public ResNet/detection training+inference benchmarks
+measure A100 at 1.5-2x a 3090 end-to-end.  We take the end of that range
+LEAST favorable to us — 2.0x — giving an A100-equivalent baseline of
+2.7 x 2.0 = 5.4 pairs/s; the honest north-star bar (3x) is therefore
+16.2 pairs/s.  Both ratios are reported so the margin is auditable.
 """
 
 import json
@@ -25,6 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 2.7  # IGEV-Stereo paper, KITTI res, RTX 3090
+# A100-equivalent anchor: 3090 number x 2.0 (worst-case 3090->A100 scaling
+# for conv-heavy AMP stereo workloads; derivation in the module docstring
+# and BASELINE.md)
+A100_BASELINE_PAIRS_PER_SEC = 5.4
 
 
 def _check_device_reachable(timeout_s: float = 180.0):
@@ -117,7 +133,7 @@ def main():
     # the steady-state pairs/s a pipelined serving loop sustains.
     from anystereo_tpu.utils.profiling import pipelined_per_call
 
-    per_pair_dev, _ = pipelined_per_call(
+    per_pair_dev, aux = pipelined_per_call(
         lambda c, v, l, r: model.apply(
             v, l + c, r + c, iters=iters, mode="eval"
         ).disp_final,
@@ -127,6 +143,15 @@ def main():
     )
     pairs_per_sec = b / per_pair_dev
 
+    # The chained scan's first iteration (carry = 0) must reproduce the
+    # direct forward — otherwise the steady-state path could regress
+    # numerically while still posting a finite-looking throughput.
+    chained_out = np.asarray(aux["first_out"]).reshape(out.shape)
+    assert np.allclose(chained_out, out, rtol=1e-2, atol=0.05), (
+        "pipelined-chain output diverges from the direct forward: "
+        f"max |diff| = {np.abs(chained_out - out).max()}"
+    )
+
     print(
         json.dumps(
             {
@@ -134,6 +159,9 @@ def main():
                 "value": round(pairs_per_sec, 3),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 3),
+                "vs_baseline_a100": round(
+                    pairs_per_sec / A100_BASELINE_PAIRS_PER_SEC, 3
+                ),
                 "config": f"IGEV eval {h}x{w} iters={iters} maxdisp={cfg.max_disp} bf16, pipelined"
                 + (f" overrides={overrides}" if overrides else ""),
                 "latency_ms": round(per_pair_dev * 1000, 1),

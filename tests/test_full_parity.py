@@ -40,6 +40,11 @@ def _jx(t):
     return jnp.asarray(t.detach().numpy())
 
 
+def _axis_centers(n):
+    r = 1.0 / n
+    return (-1 + r + 2 * r * np.arange(n)).astype(np.float32)
+
+
 def _parity_cfg(**kw):
     base = dict(
         norm_2d=NormType.FROZEN_BATCH,
@@ -227,6 +232,87 @@ class TestFullModelParity:
         np.testing.assert_allclose(
             preds_j[1], preds_t[1][:, 0].numpy(), rtol=1e-2, atol=5e-2,
             err_msg="iteration 1 diverges at production shape",
+        )
+
+    def test_production_shape_full_trajectory(self):
+        """FULL-trajectory parity at the production shape: 192x640,
+        max_disp=192, ALL 8 train-mode iterates plus the dense eval
+        decode.  Uses tamed weights (weight_std=0.03, the technique
+        build_reference_raft defaults to) so the detached-disparity
+        feedback loop's fp-noise growth stays bounded (~small x/iter
+        instead of ~30x at std 0.1) and late iterates compare the
+        trajectory, not chaos.  Complements
+        test_realistic_size_production_config, which pins iterates 0-1
+        at realistic weight magnitudes."""
+        model_t, args = build_reference_igev(seed=41, weight_std=0.03)
+        args.max_disp = 192
+        model_t, _ = build_reference_igev(args, seed=41, weight_std=0.03)
+        cfg = _parity_cfg(max_disp=192)
+        var = _variables(model_t, cfg)
+        flax_model = AnyStereo(cfg)
+
+        b, h, w = 1, 192, 640
+        left, right, coords = self._inputs(b, h, w, h, w, seed=43)
+        scale = np.asarray([1.0], np.float32)
+        iters = 8
+
+        with torch.no_grad():
+            init_t, preds_t = model_t(
+                torch.from_numpy(left).permute(0, 3, 1, 2),
+                torch.from_numpy(right).permute(0, 3, 1, 2),
+                iters=iters,
+                hr_coord=torch.from_numpy(coords.copy()),
+                scale=torch.from_numpy(scale),
+                test_mode=False,
+            )
+
+        out = jax.jit(
+            lambda v, l, r, c, s: flax_model.apply(
+                v, l, r, iters=iters, coords=c, scale=s, mode="train"
+            )
+        )(var, jnp.asarray(left), jnp.asarray(right), jnp.asarray(coords),
+          jnp.asarray(scale))
+        np.testing.assert_allclose(
+            np.asarray(out.init_disp), init_t.numpy(), rtol=1e-4, atol=2e-4,
+            err_msg="initial regressed disparity diverges (tamed weights)",
+        )
+        preds_j = np.asarray(out.disp_preds)
+        assert len(preds_t) == iters
+        for i in range(iters):
+            # tolerance grows geometrically with the measured fp-noise
+            # growth of the tamed loop (~2x/iter worst case): 5e-3 at
+            # iterate 0 up to ~0.6 px at iterate 7 — far below the px-scale
+            # divergence an actual wiring defect produces
+            tol = 5e-3 * (2.0 ** i)
+            np.testing.assert_allclose(
+                preds_j[i], preds_t[i][:, 0].numpy(), rtol=1e-3, atol=tol,
+                err_msg=f"iteration {i}/8 diverges at production shape",
+            )
+
+        # dense eval decode over the full trajectory (test_mode,
+        # continuous_IGEVstereo.py:303-304)
+        with torch.no_grad():
+            out_t = model_t(
+                torch.from_numpy(left).permute(0, 3, 1, 2),
+                torch.from_numpy(right).permute(0, 3, 1, 2),
+                iters=iters,
+                hr_coord=torch.from_numpy(coords.copy()),
+                scale=torch.from_numpy(scale),
+                test_mode=True,
+            )
+        out_e = jax.jit(
+            lambda v, l, r, ys, xs, s: flax_model.apply(
+                v, l, r, iters=iters, dense_grid=(ys, xs), scale=s,
+                mode="eval",
+            )
+        )(var, jnp.asarray(left), jnp.asarray(right),
+          jnp.asarray(_axis_centers(h)), jnp.asarray(_axis_centers(w)),
+          jnp.asarray(scale))
+        np.testing.assert_allclose(
+            np.asarray(out_e.disp_final).reshape(b, h * w),
+            out_t[:, 0].numpy(),
+            rtol=1e-3, atol=0.64,
+            err_msg="dense eval decode diverges over the full trajectory",
         )
 
     def test_raft_core_parity(self):

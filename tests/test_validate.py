@@ -334,3 +334,181 @@ class TestQuarterNearestValidation:
         disp = v.infer(img1.astype(np.float32), img2.astype(np.float32))
         assert disp.shape == img1.shape[:2]
         assert np.isfinite(disp).all()
+
+
+def _synthetic_middeval3(root, h=40, w=64):
+    """MiddEval3 trainingF layout with GT that has inf holes AND occluded
+    pixels that carry GT — the configuration that exposes valid-mask/nocc
+    conflation (evaluation_validate.py:479-483 semantics)."""
+    from PIL import Image
+
+    from anystereo_tpu.data.frame_utils import write_pfm
+
+    rng = np.random.RandomState(7)
+    scene = root / "MiddEval3" / "trainingF" / "scene1"
+    scene.mkdir(parents=True)
+    for name in ("im0.png", "im1.png"):
+        Image.fromarray(
+            (rng.rand(h, w, 3) * 255).astype(np.uint8)
+        ).save(scene / name)
+    gt = np.full((h, w), 3.0, np.float32)
+    gt[:2, :] = np.inf  # no GT at all (excluded from every mask)
+    nocc = np.full((h, w), 255, np.uint8)
+    nocc[10:20, :] = 128  # occluded (mask != 255) but GT IS present
+    write_pfm(str(scene / "disp0GT.pfm"), gt)
+    Image.fromarray(nocc).save(scene / "mask0nocc.png")
+    return root
+
+
+class TestMiddleburyProtocol:
+    def test_all_includes_occluded_and_occ_columns_emitted(self, tmp_path):
+        """The reference's Middlebury valid mask is
+        `(valid_gt>=-0.5)&(disp_gt<1000)` over ALL pixels
+        (evaluation_validate.py:480-482) — occluded pixels with GT count
+        in the "all" metrics, and the occ/noc columns must both appear.
+        Conflating validity with the reader's nocc mask makes "all"
+        noc-only and the occ subset provably empty."""
+        from anystereo_tpu.eval.validate import build_eval_dataset
+
+        root = _synthetic_middeval3(tmp_path)
+        ds, fixed_upscale, occ_provider, valid_from_gt = build_eval_dataset(
+            "middlebury_F", str(root)
+        )
+        assert valid_from_gt, "Middlebury must derive validity from GT"
+        assert fixed_upscale is None
+        assert len(ds) == 1
+        model = AnyStereo(ModelConfig(max_disp=32))
+        left = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(
+            lambda k: model.init(k, left, left, iters=1, mode="eval")
+        )(jax.random.PRNGKey(0))
+        results = validate_dataset(
+            model, variables["params"], ds, valid_iters=2,
+            occ_provider=occ_provider, valid_from_gt=valid_from_gt,
+        )
+        for key in ("epe", "epe_occ", "epe_noc", "d1", "d1_occ", "d1_noc"):
+            assert key in results, (key, sorted(results))
+        # inf GT holes must not poison the masked means (inf*0 = NaN)
+        assert all(np.isfinite(v) for v in results.values()), results
+        # occluded pixels carry GT, so "all" must differ from noc-only
+        assert results["epe"] != results["epe_noc"]
+
+    def test_occ_all_noc_mask_accounting(self, tmp_path):
+        """Pixel-level accounting: all = finite∧<1000 (38 of 40 rows);
+        occ = all∧(mask0nocc≠255) (10 rows); noc = the remaining 28."""
+        from anystereo_tpu.eval.validate import (
+            build_eval_dataset,
+            nocc_mask_occ_provider,
+        )
+
+        root = _synthetic_middeval3(tmp_path, h=40, w=64)
+        ds, _, occ_provider, _ = build_eval_dataset("middlebury_F", str(root))
+        _, _, flow, _ = ds._load_raw(0)
+        gt = flow[..., 0]
+        vmask = np.isfinite(gt) & (gt > 0) & (gt < 1000.0)
+        occ = occ_provider(ds, 0)
+        assert vmask.sum() == 38 * 64
+        assert (vmask & occ).sum() == 10 * 64
+        assert (vmask & ~occ).sum() == 28 * 64
+
+    def test_middlebury_2014_has_no_occ_provider_mask(self, tmp_path):
+        """Middlebury 2014 ships disp0.pfm with NO mask0nocc — the
+        provider must return None, not mislabel the disp<1e3 validity
+        tuple as an occlusion split."""
+        from PIL import Image
+
+        from anystereo_tpu.data.datasets import Middlebury
+        from anystereo_tpu.data.frame_utils import write_pfm
+        from anystereo_tpu.eval.validate import nocc_mask_occ_provider
+
+        scene = tmp_path / "2014" / "scene1"
+        scene.mkdir(parents=True)
+        for name in ("im0.png", "im1.png", "im1E.png", "im1L.png"):
+            Image.fromarray(np.zeros((4, 4, 3), np.uint8)).save(scene / name)
+        write_pfm(str(scene / "disp0.pfm"), np.ones((4, 4), np.float32))
+        ds = Middlebury(str(tmp_path), split="2014")
+        assert len(ds) == 3  # E/L/plain exposure variants
+        assert nocc_mask_occ_provider(ds, 0) is None
+
+
+class TestEvalOthers:
+    def test_bicubic_upscale_comparison_path(self, tmp_path):
+        """multi_evaothers (pad_for_muti_other, evaluation_validate.py:
+        109-118 + :147-154): downscale by scale_test, plain inference,
+        disparity x scale_test, bicubic back to the original grid."""
+        cfg = ModelConfig(max_disp=32)
+        model = AnyStereo(cfg)
+        rng = np.random.RandomState(3)
+        img1 = (rng.rand(40, 64, 3) * 255).astype(np.float32)
+        img2 = (rng.rand(40, 64, 3) * 255).astype(np.float32)
+        left = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        variables = jax.jit(
+            lambda k: model.init(k, left, left, iters=1, mode="eval")
+        )(jax.random.PRNGKey(0))
+        v = Validator(model, variables["params"], valid_iters=1)
+        out = v.infer(img1, img2, scale_test=2.0, divis=32, eval_others=True)
+        assert out.shape == (40, 64)
+        assert np.isfinite(out).all()
+        # the LR inference ran at ceil(40/2) x ceil(64/2) = one cached fn
+        (shape_key, _), = v._fns
+        assert shape_key[1] == 32 and shape_key[2] == 32
+
+
+class TestShapeBucketing:
+    def test_one_compile_per_bucket_and_metrics_stable(self, tmp_path):
+        """Mixed-size images that round to the same 64-bucket must reuse
+        ONE jitted fn, and the bucketed metrics must match the per-shape
+        protocol closely (replicate-edge padding only adds border
+        context)."""
+        from PIL import Image
+
+        from anystereo_tpu.data.datasets import StereoDataset
+        from anystereo_tpu.data.frame_utils import write_pfm
+
+        rng = np.random.RandomState(11)
+        ds = StereoDataset(sparse=True, reader=None)
+        ds.reader = None
+        # two different sizes, both <= (64, 128) after rounding up
+        sizes = [(44, 72), (52, 96)]
+        disp_paths = []
+        for i, (h, w) in enumerate(sizes):
+            d = tmp_path / f"img{i}"
+            d.mkdir()
+            for name in ("im0.png", "im1.png"):
+                Image.fromarray(
+                    (rng.rand(h, w, 3) * 255).astype(np.uint8)
+                ).save(d / name)
+            write_pfm(str(d / "disp.pfm"), np.full((h, w), 2.0, np.float32))
+            ds.image_list.append([str(d / "im0.png"), str(d / "im1.png")])
+            ds.disparity_list.append(str(d / "disp.pfm"))
+        from anystereo_tpu.data import frame_utils
+
+        ds.reader = frame_utils.read_gen
+
+        model = AnyStereo(ModelConfig(max_disp=32))
+        left = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = jax.jit(
+            lambda k: model.init(k, left, left, iters=1, mode="eval")
+        )(jax.random.PRNGKey(0))
+
+        res_plain = validate_dataset(
+            model, variables["params"], ds, valid_iters=2, divis=32
+        )
+        vd = Validator(model, variables["params"], valid_iters=2, bucket=64)
+        assert len({tuple(s) for s in sizes}) == 2
+        meter_keys = None
+        for i in range(2):
+            img1, img2, _, _ = ds._load_raw(i)
+            out = vd.infer(img1, img2, divis=32)
+            assert out.shape == img1.shape[:2]
+        assert len(vd._fns) == 1, "both sizes must share one compiled fn"
+
+        res_bucket = validate_dataset(
+            model, variables["params"], ds, valid_iters=2, divis=32, bucket=64
+        )
+        assert set(res_bucket) == set(res_plain)
+        # border-context effect only: the random-weight model is the
+        # worst case and still stays within a few percent
+        assert abs(res_bucket["epe"] - res_plain["epe"]) <= max(
+            0.05 * abs(res_plain["epe"]), 0.05
+        ), (res_bucket["epe"], res_plain["epe"])

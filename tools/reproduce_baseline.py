@@ -110,7 +110,7 @@ def main():
         if args.datasets and key not in args.datasets:
             continue
         try:
-            ds, _, _ = build_eval_dataset(key, args.data_root)
+            ds, *_ = build_eval_dataset(key, args.data_root)
             if len(ds) == 0:
                 print(f"[skip] {key}: no images under {args.data_root}", flush=True)
                 continue
