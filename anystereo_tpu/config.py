@@ -254,6 +254,10 @@ class TrainConfig:
     # skip (no-op) any update whose grads contain inf/NaN — the bf16-TPU
     # analog of the reference's AMP GradScaler step-skip (:232-239)
     skip_nonfinite: bool = True
+    # abort training (with an emergency checkpoint of the still-finite
+    # state) after this many CONSECUTIVE skipped steps: persistent NaNs
+    # mean divergence, and silently no-op'ing forever hides it
+    max_consecutive_nonfinite: int = 50
     loss_gamma: float = 0.9  # sequence-loss base, exponent 15/(N-1)
     supervise_init: bool = False  # add smooth-L1 on the regressed init disparity
     max_disp_loss: float = 700.0  # GT validity ceiling in the loss

@@ -74,6 +74,12 @@ def make_train_step(
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
+        from anystereo_tpu.train.optimizer import SkipNonFiniteState
+
+        if isinstance(new_state.opt_state, SkipNonFiniteState):
+            # consecutive nonfinite-skipped steps — the trainer aborts
+            # loudly when this exceeds tcfg.max_consecutive_nonfinite
+            metrics["nonfinite_skips"] = new_state.opt_state.notfinite_count
         return new_state, metrics
 
     if mesh is None:

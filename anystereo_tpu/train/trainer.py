@@ -294,6 +294,37 @@ def train(
                     log.exception("emergency checkpoint failed")
                 raise
             logger.push(int(i), metrics)
+            skips = metrics.get("nonfinite_skips")
+            if skips is not None and int(skips) > 0:
+                if int(skips) == 1:
+                    log.warning(
+                        "step %d: nonfinite gradients — update skipped "
+                        "(loss=%s grad_norm=%s)",
+                        i, float(metrics["loss"]), float(metrics["grad_norm"]),
+                    )
+                if int(skips) >= cfg.train.max_consecutive_nonfinite:
+                    # the guard keeps params finite by no-op'ing bad steps;
+                    # persistent badness is divergence — stop loudly with
+                    # the last finite state checkpointed instead of burning
+                    # the remaining budget on no-ops
+                    log.error(
+                        "training diverged: %d consecutive nonfinite steps "
+                        "— saving emergency checkpoint and aborting", int(skips),
+                    )
+                    jax.block_until_ready(state.params)
+                    save_checkpoint(cfg.train.ckpt_dir, state)
+                    if ckptable_loader:
+                        _save_loader_state(
+                            cfg.train.ckpt_dir,
+                            int(state.step),
+                            it.state_after_current,
+                        )
+                    raise RuntimeError(
+                        f"training diverged at step {i}: "
+                        f"{int(skips)} consecutive nonfinite gradient steps "
+                        f"(params remain finite; checkpoint saved to "
+                        f"{cfg.train.ckpt_dir})"
+                    )
             if (i + 1) % cfg.train.ckpt_every == 0 or i + 1 == total or (
                 stop_requested["flag"]
             ):

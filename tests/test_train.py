@@ -109,6 +109,37 @@ class TestOptimizer:
         assert float(jnp.abs(updates["w"]).max()) > 0.0
         assert int(state.notfinite_count) == 0
 
+    def test_persistent_nonfinite_never_poisons(self):
+        """Regression for an observed 2k-step NaN poisoning: optax's
+        apply_if_finite(max_consecutive_errors=N) GIVES UP after N
+        consecutive bad steps and applies the NaN update.  Our wrapper must
+        keep no-op'ing forever — 1100 consecutive NaN steps leave the params
+        bit-identical and the inner Adam state untouched."""
+        import optax
+
+        tx = make_optimizer(lr=1e-3, grad_clip=1.0, num_steps=100)
+        params = {"w": jnp.ones((3,))}
+        state = tx.init(params)
+        bad = {"w": jnp.asarray([1.0, jnp.nan, 1.0])}
+
+        def body(carry, _):
+            p, s = carry
+            updates, s = tx.update(bad, s, p)
+            return (optax.apply_updates(p, updates), s), None
+
+        (p2, state), _ = jax.lax.scan(
+            body, (params, state), None, length=1100
+        )
+        assert jnp.array_equal(p2["w"], params["w"])
+        assert int(state.notfinite_count) == 1100
+        assert int(state.total_notfinite) == 1100
+        # recovery still works after the long bad streak
+        updates, state = tx.update({"w": jnp.full((3,), 0.5)}, state, p2)
+        assert jnp.isfinite(updates["w"]).all()
+        assert float(jnp.abs(updates["w"]).max()) > 0.0
+        assert int(state.notfinite_count) == 0
+        assert int(state.total_notfinite) == 1100
+
 
 @pytest.fixture(scope="module")
 def tiny_train_setup():
@@ -326,6 +357,75 @@ class TestGrainResume:
         # two pre-restore fetches, then the restored order: batch 1 (the
         # failed step's, replayed), batch 2, and batch 3 (prefetch)
         assert served_resume[2:] == served_a[1:4]
+
+
+class TestDivergenceAbort:
+    def test_trainer_aborts_on_persistent_divergence(self, tmp_path):
+        """Persistent NaN gradients must abort with RuntimeError after
+        max_consecutive_nonfinite consecutive skipped steps, checkpointing
+        the still-finite state — not poison the params (old optax give-up
+        behavior) and not silently no-op to the end of the budget."""
+        import glob
+
+        from anystereo_tpu.config import Config
+        from anystereo_tpu.train.trainer import train
+
+        b, h, w, q = 1, 32, 64, 64
+        rng = np.random.RandomState(0)
+
+        def make_batch(poison: bool):
+            left = rng.rand(b, h, w, 3).astype(np.float32) * 255
+            if poison:
+                left = np.full_like(left, np.nan)
+            return {
+                "left": left,
+                "right": rng.rand(b, h, w, 3).astype(np.float32) * 255,
+                "coords": (rng.rand(b, q, 2).astype(np.float32) * 2 - 1)
+                * 0.99,
+                "gt": rng.rand(b, q).astype(np.float32) * 20,
+                "valid": np.ones((b, q), np.float32),
+                "scale": np.ones((b,), np.float32),
+            }
+
+        def loader():
+            yield make_batch(poison=False)  # init + one good step
+            while True:
+                yield make_batch(poison=True)
+
+        cfg = Config(
+            model=ModelConfig(max_disp=32),
+            train=TrainConfig(
+                train_iters=2,
+                batch_size=1,
+                lr=1e-4,
+                num_steps=100,
+                ckpt_every=1000,
+                ckpt_dir=str(tmp_path / "ckpt"),
+                max_consecutive_nonfinite=3,
+            ),
+        )
+        with pytest.raises(RuntimeError, match="diverged"):
+            train(cfg, loader())
+        steps = [
+            p
+            for p in glob.glob(str(tmp_path / "ckpt" / "*"))
+            if p.rsplit("/", 1)[-1].isdigit()
+        ]
+        assert steps, "divergence abort did not save a checkpoint"
+        # the saved params are the guard-protected (finite) ones
+        import orbax.checkpoint as ocp
+
+        mngr = ocp.CheckpointManager(str(tmp_path / "ckpt"))
+        restored = mngr.restore(
+            mngr.latest_step(),
+            args=ocp.args.Composite(params=ocp.args.StandardRestore()),
+        )["params"]
+        mngr.close()
+        finite = all(
+            bool(np.isfinite(np.asarray(x)).all())
+            for x in jax.tree_util.tree_leaves(restored)
+        )
+        assert finite, "checkpointed params contain nonfinite values"
 
 
 class TestStepDecay:
