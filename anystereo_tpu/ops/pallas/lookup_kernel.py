@@ -866,7 +866,7 @@ def _clamp_bounds(length: int, taps: int, levels: int, radius: int):
 def _pyr_align_fwd_kernel(vol_ref, x_ref, out_ref, *, length: int, taps: int,
                           levels: int, radius: int):
     lpad = vol_ref.shape[0]
-    M, offs, _ = _aligned_geometry(taps, levels, radius)
+    M, offs, window = _aligned_geometry(taps, levels, radius)
     lo, hi = _clamp_bounds(length, taps, levels, radius)
     xc = jnp.clip(x_ref[0:1, :], lo, hi)  # [1, P]
     i0f0 = jnp.floor(xc - radius)
@@ -874,13 +874,37 @@ def _pyr_align_fwd_kernel(vol_ref, x_ref, out_ref, *, length: int, taps: int,
     roll = jax.lax.rem(i0_0 - M, lpad)
     roll = jnp.where(roll < 0, roll + lpad, roll)  # [1, P] in [0, lpad)
 
+    # Two-stage barrel roll: apply the COARSE bits (shift >= 2^fine_bits)
+    # on the full [lpad, P] block, then slice down to the rows the fine
+    # bits can still reach (window + 2^fine_bits - 1) and finish there —
+    # for a deep volume (all-pairs corr, lpad ~ W) the fine steps then
+    # move ~window rows instead of lpad rows (~2x fewer roll VPU ops).
+    # Safety of the non-modular fine phase: target rows j < window read
+    # source rows j + lo <= window + 2^fine_bits - 2 < fine_rows, and the
+    # circular wrap of pltpu.roll on the slice only pollutes rows
+    # >= fine_rows - shift, all of which are beyond the window.
+    total_bits = (lpad - 1).bit_length()
+    fine_bits = min(5, total_bits)
+    fine_rows = min(lpad, _round_up(window + (1 << fine_bits) - 1, 8))
+
     aligned = vol_ref[:]  # [lpad, P]
-    for b in range((lpad - 1).bit_length()):
+    for b in range(fine_bits, total_bits):
         # net shift = -(sum of set bits) mod lpad → aligned[j] = vol[(j + roll) % lpad]
         bit = ((roll >> b) & 1) == 1
         shifted = pltpu.roll(aligned, shift=(lpad - (1 << b)) % lpad, axis=0)
         aligned = jnp.where(bit, shifted, aligned)
+    aligned = aligned[0:fine_rows, :]
+    for b in range(min(fine_bits, total_bits)):
+        bit = ((roll >> b) & 1) == 1
+        shifted = pltpu.roll(
+            aligned, shift=(fine_rows - (1 << b)) % fine_rows, axis=0
+        )
+        aligned = jnp.where(bit, shifted, aligned)
 
+    # Tap extraction on [taps+1, P] blocks (full sublane utilization)
+    # instead of taps+1 single-row selects: level-lvl pooled tap j for
+    # parity c is the width-wide row sum starting at off+c+width*j, i.e.
+    # a reshape-sum over a contiguous [width*(taps+1), P] slice.
     rows = []
     for lvl in range(levels):
         width = 1 << lvl
@@ -892,27 +916,20 @@ def _pyr_align_fwd_kernel(vol_ref, x_ref, out_ref, *, length: int, taps: int,
         inv = jnp.float32(1.0 / width)
         off = offs[lvl]
         if lvl == 0:
-            cand = None
+            sv = aligned[off:off + taps + 1, :]  # [taps+1, P]
         else:
             cand = i0 * width - i0_0 + (M - off)  # per-lane in [0, width)
-        svals = []
-        for j in range(taps + 1):
-            if lvl == 0:
-                s = aligned[off + j:off + j + 1, :]
-            else:
-                s = None
-                for c in range(width):
-                    r0 = off + c + width * j
-                    sc = aligned[r0:r0 + 1, :]
-                    for m in range(1, width):
-                        sc = sc + aligned[r0 + m:r0 + m + 1, :]
-                    sel = jnp.where(cand == c, sc, 0.0)
-                    s = sel if s is None else s + sel
-                s = s * inv
-            valid = (i0 + j >= 0) & (i0 + j <= l_lvl - 1)
-            svals.append(jnp.where(valid, s, 0.0))
-        for k in range(taps):
-            rows.append((1.0 - frac) * svals[k] + frac * svals[k + 1])
+            sv = None
+            for c in range(width):
+                blk = aligned[off + c:off + c + width * (taps + 1), :]
+                svc = blk.reshape(taps + 1, width, blk.shape[-1]).sum(axis=1)
+                sel = jnp.where(cand == c, svc, 0.0)
+                sv = sel if sv is None else sv + sel
+            sv = sv * inv
+        j_idx = jax.lax.broadcasted_iota(jnp.int32, sv.shape, 0)
+        valid = (i0 + j_idx >= 0) & (i0 + j_idx <= l_lvl - 1)
+        sv = jnp.where(valid, sv, 0.0)
+        rows.append((1.0 - frac) * sv[:taps, :] + frac * sv[1:, :])
     res = jnp.concatenate(rows, axis=0)  # [levels*taps, P]
     out_ref[:, :] = jnp.swapaxes(res, 0, 1)
 
