@@ -149,6 +149,10 @@ class ModelConfig:
     # concatenated output channels: same params, same numbers, one im2col
     # read of hx and one wider MXU matmul per cell instead of two.
     fuse_gru_gates: bool = False
+    # Disp-head conv2 (3x3, 256→1) as a taps-on-lanes matmul + 9 shifted
+    # adds: XLA's 1-output-channel conv runs at 0.4% MXU (0.158 ms/iter
+    # measured); same params, same numbers up to fp32 reassociation.
+    fast_disp_head: bool = False
     gwc_groups: int = 8
     fnet_dim: int = 256  # RAFT matching-feature dim
     liif: LiifConfig = dataclasses.field(default_factory=LiifConfig)

@@ -152,15 +152,48 @@ class BasicMotionEncoder(nn.Module):
 
 
 class DispHead(nn.Module):
-    """update.py:16-24: two 3x3 convs with a 256-wide hidden layer → Δdisp."""
+    """update.py:16-24: two 3x3 convs with a 256-wide hidden layer → Δdisp.
+
+    shift_matmul: schedule-only rewrite of conv2 (3x3, hidden→1).  XLA's
+    conv with ONE output channel runs at 0.4% MXU on v5e (0.158 ms/iter at
+    the bench shape, measured by tools/profile_update_convs.py): the lane
+    dim carries the single output channel.  Same math as a [·,C]×[C,9]
+    matmul (taps on lanes) followed by 9 shifted adds of scalar maps —
+    identical params ({kernel (3,3,C,1), bias (1,)} at conv2/) and the same
+    numbers up to fp32 reassociation."""
 
     hidden: int = 256
     dtype: Optional[Dtype] = None
+    shift_matmul: bool = False
 
     @nn.compact
     def __call__(self, x):
         y = nn.relu(_conv3(self.hidden, self.dtype, "conv1")(x))
-        return _conv3(1, self.dtype, "conv2")(y)
+        if not self.shift_matmul:
+            return _conv3(1, self.dtype, "conv2")(y)
+        k, bias = _Conv3Params(1, name="conv2")(y.shape[-1])
+        dt = (
+            jnp.promote_types(y.dtype, k.dtype)
+            if self.dtype is None
+            else self.dtype
+        )
+        # mat[c, 3*dy+dx] = kernel[dy, dx, c, 0]
+        mat = k[..., 0].transpose(2, 0, 1).reshape(y.shape[-1], 9)
+        t = jax.lax.dot_general(
+            y.astype(dt),
+            mat.astype(dt),
+            dimension_numbers=(((3,), (0,)), ((), ())),
+        )  # [B, H, W, 9] per-tap scalar maps
+        tp = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        h, w = y.shape[1], y.shape[2]
+        # cross-correlation with pad 1: out[i,j] = sum_dy,dx
+        # y[i+dy-1, j+dx-1]·w[dy,dx] = sum tp[i+dy, j+dx, 3*dy+dx]
+        out = sum(
+            tp[:, dy : dy + h, dx : dx + w, 3 * dy + dx]
+            for dy in range(3)
+            for dx in range(3)
+        )
+        return out[..., None] + bias.astype(out.dtype)
 
 
 def pool2x(x):
@@ -180,6 +213,7 @@ class BasicMultiUpdateBlock(nn.Module):
     n_layers: int = 3
     gru_type: str = "conv"  # "conv" | "sep" (SepConvGRU, no context gates)
     fuse_zr: bool = False  # fused z/r gate conv (numerics-identical)
+    head_shift_matmul: bool = False  # disp-head conv2 as matmul+shifts
     dtype: Optional[Dtype] = None
 
     def _gru(self, hidden_dim, name):
@@ -235,5 +269,10 @@ class BasicMultiUpdateBlock(nn.Module):
                 )
         if not update:
             return net, None
-        delta = DispHead(256, self.dtype, name="disp_head")(net[0])
+        delta = DispHead(
+            256,
+            self.dtype,
+            shift_matmul=self.head_shift_matmul,
+            name="disp_head",
+        )(net[0])
         return net, delta

@@ -223,3 +223,37 @@ class TestGruVariants:
             np.asarray(o0.disp_preds), np.asarray(o1.disp_preds),
             rtol=0, atol=1e-5,
         )
+
+    def test_fast_disp_head_identical(self):
+        """fast_disp_head rewrites the disp-head conv2 (3x3, 256→1) as a
+        taps-on-lanes matmul + 9 shifted adds: the param tree is unchanged
+        and the full-model outputs match the conv form up to fp32
+        reassociation (the reduction over the 2304 products is reordered)."""
+        base = ModelConfig(max_disp=32, compute_dtype="float32")
+        fast = dataclasses.replace(base, fast_disp_head=True)
+        m0, m1 = AnyStereo(base), AnyStereo(fast)
+        rng = np.random.RandomState(4)
+        b, h, w, q = 1, 32, 64, 32
+        left = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        right = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        coords = jnp.asarray((rng.rand(b, q, 2).astype(np.float32) * 2 - 1) * 0.99)
+        scale = jnp.asarray([1.0], np.float32)
+        v0 = m0.init(jax.random.PRNGKey(7), left, right, iters=2,
+                     coords=coords, scale=scale)
+        v1 = m1.init(jax.random.PRNGKey(7), left, right, iters=2,
+                     coords=coords, scale=scale)
+        p0 = jax.tree_util.tree_leaves_with_path(v0["params"])
+        p1 = jax.tree_util.tree_leaves_with_path(v1["params"])
+        assert [k for k, _ in p0] == [k for k, _ in p1]
+        for (_, a), (_, b_) in zip(p0, p1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        o0 = m0.apply(v0, left, right, iters=2, coords=coords, scale=scale,
+                      mode="train")
+        o1 = m1.apply(v0, left, right, iters=2, coords=coords, scale=scale,
+                      mode="train")
+        # reassociated fp32 reduction: tiny per-step deltas, amplified a bit
+        # by the iterative refinement — bound the disparity drift tightly
+        np.testing.assert_allclose(
+            np.asarray(o0.disp_preds), np.asarray(o1.disp_preds),
+            rtol=0, atol=5e-4,
+        )
