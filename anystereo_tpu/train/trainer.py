@@ -311,14 +311,19 @@ def train(
                         "training diverged: %d consecutive nonfinite steps "
                         "— saving emergency checkpoint and aborting", int(skips),
                     )
-                    jax.block_until_ready(state.params)
-                    save_checkpoint(cfg.train.ckpt_dir, state)
-                    if ckptable_loader:
-                        _save_loader_state(
-                            cfg.train.ckpt_dir,
-                            int(state.step),
-                            it.state_after_current,
-                        )
+                    try:
+                        jax.block_until_ready(state.params)
+                        save_checkpoint(cfg.train.ckpt_dir, state)
+                        if ckptable_loader:
+                            _save_loader_state(
+                                cfg.train.ckpt_dir,
+                                int(state.step),
+                                it.state_after_current,
+                            )
+                    except Exception:
+                        # never mask the divergence signal (e.g. orbax
+                        # duplicate-step right after a resume)
+                        log.exception("divergence checkpoint failed")
                     raise RuntimeError(
                         f"training diverged at step {i}: "
                         f"{int(skips)} consecutive nonfinite gradient steps "
