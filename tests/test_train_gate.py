@@ -1,0 +1,48 @@
+"""Training-quality golden gate (VERDICT r2 item 3).
+
+Runs the full end-to-end harness (synthetic on-disk dataset → StereoDataset
+→ augmentor → trainer → validator) at the reference recipe's lr 2e-4 for
+150 steps and requires held-out EPE < 2.4 px — a seeded tolerance band that
+fails on silent optimizer / loss / kernel-VJP regressions (calibrated
+2026-08-19: EPE 1.894 on CPU; the 2k-step on-chip run tracks the same
+recipe, BASELINE.md).
+
+~25 CPU-minutes, so gated: ANYSTEREO_TRAIN_GATE=1 python -m pytest
+tests/test_train_gate.py -q
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("ANYSTEREO_TRAIN_GATE"),
+    reason="long training-quality gate; set ANYSTEREO_TRAIN_GATE=1",
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_e2e_training_quality(tmp_path):
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "e2e_demo.py"),
+            "--steps", "150",
+            "--lr", "2e-4",
+            "--epe-target", "2.4",
+            "--platform", "cpu",
+            "--out", str(tmp_path / "e2e"),
+        ],
+        env={**os.environ, "PYTHONPATH": REPO},
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    assert proc.returncode == 0, (
+        f"training-quality gate failed (rc={proc.returncode}):\n"
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+    assert "E2E PASS" in proc.stdout
