@@ -864,7 +864,11 @@ def _clamp_bounds(length: int, taps: int, levels: int, radius: int):
 
 
 def _pyr_align_fwd_kernel(vol_ref, x_ref, out_ref, *, length: int, taps: int,
-                          levels: int, radius: int):
+                          levels: int, radius: int, variant: str = "full"):
+    """variant != "full" ablates stages for tools/kbench_lookup.py timing
+    attribution ONLY (wrong values): "copy" skips rolls+extraction, "rolls"
+    skips extraction, "extract" skips rolls, "notranspose" writes the
+    result row-major.  All branches are Python-static (no runtime cost)."""
     lpad = vol_ref.shape[0]
     M, offs, window = _aligned_geometry(taps, levels, radius)
     lo, hi = _clamp_bounds(length, taps, levels, radius)
@@ -888,18 +892,26 @@ def _pyr_align_fwd_kernel(vol_ref, x_ref, out_ref, *, length: int, taps: int,
     fine_rows = min(lpad, _round_up(window + (1 << fine_bits) - 1, 8))
 
     aligned = vol_ref[:]  # [lpad, P]
-    for b in range(fine_bits, total_bits):
-        # net shift = -(sum of set bits) mod lpad → aligned[j] = vol[(j + roll) % lpad]
-        bit = ((roll >> b) & 1) == 1
-        shifted = pltpu.roll(aligned, shift=(lpad - (1 << b)) % lpad, axis=0)
-        aligned = jnp.where(bit, shifted, aligned)
-    aligned = aligned[0:fine_rows, :]
-    for b in range(min(fine_bits, total_bits)):
-        bit = ((roll >> b) & 1) == 1
-        shifted = pltpu.roll(
-            aligned, shift=(fine_rows - (1 << b)) % fine_rows, axis=0
-        )
-        aligned = jnp.where(bit, shifted, aligned)
+    if variant not in ("copy", "extract"):
+        for b in range(fine_bits, total_bits):
+            # net shift = -(sum of set bits) mod lpad → aligned[j] = vol[(j + roll) % lpad]
+            bit = ((roll >> b) & 1) == 1
+            shifted = pltpu.roll(aligned, shift=(lpad - (1 << b)) % lpad, axis=0)
+            aligned = jnp.where(bit, shifted, aligned)
+        aligned = aligned[0:fine_rows, :]
+        for b in range(min(fine_bits, total_bits)):
+            bit = ((roll >> b) & 1) == 1
+            shifted = pltpu.roll(
+                aligned, shift=(fine_rows - (1 << b)) % fine_rows, axis=0
+            )
+            aligned = jnp.where(bit, shifted, aligned)
+    if variant in ("copy", "rolls"):
+        res = aligned[0:levels * taps, :] + (xc - xc)  # keep x live
+        if out_ref.shape[0] == levels * taps:
+            out_ref[:, :] = res
+        else:
+            out_ref[:, :] = jnp.swapaxes(res, 0, 1)
+        return
 
     # Tap extraction on [taps+1, P] blocks (full sublane utilization)
     # instead of taps+1 single-row selects: level-lvl pooled tap j for
@@ -931,7 +943,10 @@ def _pyr_align_fwd_kernel(vol_ref, x_ref, out_ref, *, length: int, taps: int,
         sv = jnp.where(valid, sv, 0.0)
         rows.append((1.0 - frac) * sv[:taps, :] + frac * sv[1:, :])
     res = jnp.concatenate(rows, axis=0)  # [levels*taps, P]
-    out_ref[:, :] = jnp.swapaxes(res, 0, 1)
+    if out_ref.shape[0] == levels * taps:  # "notranspose" variant
+        out_ref[:, :] = res
+    else:
+        out_ref[:, :] = jnp.swapaxes(res, 0, 1)
 
 
 def _pyr_align_bwd_kernel(x_ref, g_ref, dvol_ref, *, length: int, taps: int,
