@@ -153,6 +153,10 @@ class ModelConfig:
     # adds: XLA's 1-output-channel conv runs at 0.4% MXU (0.158 ms/iter
     # measured); same params, same numbers up to fp32 reassociation.
     fast_disp_head: bool = False
+    # Motion-encoder convc2/convd2 (two 3x3 64→64 branch convs, ~20% MXU
+    # each) as one block-diagonal 3x3 128→128 conv (~91% MXU at 2 lane
+    # tiles): same params, same numbers (zero cross-blocks are exact).
+    fuse_motion_convs: bool = False
     gwc_groups: int = 8
     fnet_dim: int = 256  # RAFT matching-feature dim
     liif: LiifConfig = dataclasses.field(default_factory=LiifConfig)

@@ -10,6 +10,9 @@ crop / fixed sample_q), so every batch hits the same compiled program.
 from __future__ import annotations
 
 import queue
+from queue import Empty as _QueueEmpty  # bound early: at interpreter
+# shutdown the module global `queue` may already be None when a consumer
+# generator is finalized, making `except queue.Empty` a TypeError
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List, Optional
@@ -158,7 +161,15 @@ class PrefetchLoader:
                             self.seed * 1_000_003 + epoch * 10_007 + int(i)
                             for i in chunk
                         ]
-                        samples = list(pool.map(self._sample, chunk, seeds))
+                        try:
+                            samples = list(
+                                pool.map(self._sample, chunk, seeds)
+                            )
+                        except RuntimeError:
+                            # interpreter teardown shuts the executor down
+                            # under us ("cannot schedule new futures after
+                            # shutdown") — exit quietly, nothing to produce
+                            return
                         out_q.put(collate_batch(samples))
                     epoch += 1
 
@@ -173,5 +184,5 @@ class PrefetchLoader:
             try:
                 while True:
                     out_q.get_nowait()
-            except queue.Empty:
+            except _QueueEmpty:
                 pass

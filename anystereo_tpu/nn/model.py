@@ -115,7 +115,8 @@ class AnyStereo(nn.Module):
         self.update_block = BasicMultiUpdateBlock(
             hidden_dims=cfg.hidden_dims, n_layers=cfg.n_gru_layers,
             gru_type=cfg.gru_type, fuse_zr=cfg.fuse_gru_gates,
-            head_shift_matmul=cfg.fast_disp_head, dtype=dt
+            head_shift_matmul=cfg.fast_disp_head,
+            fuse_motion_convs=cfg.fuse_motion_convs, dtype=dt
         )
         self.liif = LiifDecoder(cfg.liif, dtype=dt)
 

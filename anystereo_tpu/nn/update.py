@@ -131,23 +131,57 @@ class SepConvGRU(nn.Module):
 
 class BasicMotionEncoder(nn.Module):
     """update.py:73-92: lookup features + current disparity → 128-ch motion
-    features (last channel is the raw disparity)."""
+    features (last channel is the raw disparity).
+
+    fuse_branch_convs: run convc2 (3x3 64→64 on the corr branch) and convd2
+    (3x3 64→64 on the disp branch) as ONE 3x3 conv over concat([c, d]) with
+    a block-diagonal kernel (cross-branch blocks exactly zero).  Same param
+    tree and the same numbers — the zero blocks contribute exact zeros to
+    the fp32 accumulation — but one 128-in/128-out conv (2 N-tiles on the
+    lane axis, ~91% MXU measured) replaces two 64-ch convs (~20% MXU each,
+    tools/profile_update_convs.py)."""
 
     dtype: Optional[Dtype] = None
+    fuse_branch_convs: bool = False
 
     @nn.compact
     def __call__(self, disp, corr):
         # disp: [B,H,W,1] (fp32, cast in); corr: [B,H,W,C_lookup]
         c = nn.relu(nn.Conv(64, (1, 1), dtype=self.dtype, name="convc1")(corr))
-        c = nn.relu(_conv3(64, self.dtype, "convc2")(c))
         d = nn.relu(
             nn.Conv(64, (7, 7), padding=((3, 3), (3, 3)), dtype=self.dtype,
                     name="convd1")(disp)
         )
-        d = nn.relu(_conv3(64, self.dtype, "convd2")(d))
-        out = nn.relu(
-            _conv3(127, self.dtype, "conv")(jnp.concatenate([c, d], axis=-1))
-        )
+        if self.fuse_branch_convs:
+            kc, bc = _Conv3Params(64, name="convc2")(64)
+            kd, bd = _Conv3Params(64, name="convd2")(64)
+            cd = jnp.concatenate([c, d], axis=-1)
+            dt = (
+                jnp.promote_types(cd.dtype, kc.dtype)
+                if self.dtype is None
+                else self.dtype
+            )
+            zero = jnp.zeros_like(kc)
+            k = jnp.concatenate(
+                [
+                    jnp.concatenate([kc, zero], axis=-1),  # input c rows
+                    jnp.concatenate([zero, kd], axis=-1),  # input d rows
+                ],
+                axis=-2,
+            )  # [3, 3, 128, 128] block-diagonal
+            cd = jax.lax.conv_general_dilated(
+                cd.astype(dt),
+                k.astype(dt),
+                window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.concatenate([bc, bd]).astype(dt)
+            cd = nn.relu(cd)
+        else:
+            c = nn.relu(_conv3(64, self.dtype, "convc2")(c))
+            d = nn.relu(_conv3(64, self.dtype, "convd2")(d))
+            cd = jnp.concatenate([c, d], axis=-1)
+        out = nn.relu(_conv3(127, self.dtype, "conv")(cd))
         return jnp.concatenate([out, disp.astype(out.dtype)], axis=-1)
 
 
@@ -214,6 +248,7 @@ class BasicMultiUpdateBlock(nn.Module):
     gru_type: str = "conv"  # "conv" | "sep" (SepConvGRU, no context gates)
     fuse_zr: bool = False  # fused z/r gate conv (numerics-identical)
     head_shift_matmul: bool = False  # disp-head conv2 as matmul+shifts
+    fuse_motion_convs: bool = False  # block-diag convc2+convd2 (identical)
     dtype: Optional[Dtype] = None
 
     def _gru(self, hidden_dim, name):
@@ -255,7 +290,11 @@ class BasicMultiUpdateBlock(nn.Module):
                     net[1], context[1], pool2x(net[0])
                 )
         if iter04:
-            motion = BasicMotionEncoder(self.dtype, name="encoder")(disp, corr)
+            motion = BasicMotionEncoder(
+                self.dtype,
+                fuse_branch_convs=self.fuse_motion_convs,
+                name="encoder",
+            )(disp, corr)
             if self.n_layers > 1:
                 net[0] = self._gru(self.hidden_dims[2], "gru04")(
                     net[0],

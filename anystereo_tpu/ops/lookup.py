@@ -110,10 +110,17 @@ def set_impl_override(impl: Optional[str], interpret: bool = False):
 
 
 def _default_impl() -> Tuple[str, bool]:
+    import os
+
     import jax
 
     if _IMPL_OVERRIDE is not None:
         return _IMPL_OVERRIDE
+    # diagnostic escape hatch: force an implementation without code changes
+    # (e.g. ANYSTEREO_LOOKUP_IMPL=jnp to A/B the Pallas path on TPU)
+    env = os.environ.get("ANYSTEREO_LOOKUP_IMPL")
+    if env:
+        return env, False
     return ("pallas" if jax.default_backend() == "tpu" else "jnp"), False
 
 

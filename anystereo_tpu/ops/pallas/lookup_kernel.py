@@ -410,6 +410,11 @@ def _pix_tile(dpad: int, n_bufs: int = 1) -> int:
 
     override = int(os.environ.get("ANYSTEREO_LOOKUP_TILE", "0"))
     if override:
+        if override % 128 != 0 or override <= 0:
+            raise ValueError(
+                f"ANYSTEREO_LOOKUP_TILE={override} must be a positive "
+                "multiple of 128 (lanes axis)"
+            )
         return override
     target = (2 * 1024 * 1024) // (4 * dpad * n_bufs)
     return max(256, min(4096, (target // 128) * 128))
@@ -864,11 +869,16 @@ def _clamp_bounds(length: int, taps: int, levels: int, radius: int):
 
 
 def _pyr_align_fwd_kernel(vol_ref, x_ref, out_ref, *, length: int, taps: int,
-                          levels: int, radius: int, variant: str = "full"):
+                          levels: int, radius: int, variant: str = "full",
+                          pixel_major: bool = True):
     """variant != "full" ablates stages for tools/kbench_lookup.py timing
     attribution ONLY (wrong values): "copy" skips rolls+extraction, "rolls"
-    skips extraction, "extract" skips rolls, "notranspose" writes the
-    result row-major.  All branches are Python-static (no runtime cost)."""
+    skips extraction, "extract" skips rolls.  All branches are
+    Python-static (no runtime cost).
+
+    pixel_major selects the OUTPUT layout explicitly ([tile, levels*taps]
+    when True, [levels*taps, tile] when False) — the caller's out_specs
+    must match; layout is never inferred from the block shape."""
     lpad = vol_ref.shape[0]
     M, offs, window = _aligned_geometry(taps, levels, radius)
     lo, hi = _clamp_bounds(length, taps, levels, radius)
@@ -907,10 +917,10 @@ def _pyr_align_fwd_kernel(vol_ref, x_ref, out_ref, *, length: int, taps: int,
             aligned = jnp.where(bit, shifted, aligned)
     if variant in ("copy", "rolls"):
         res = aligned[0:levels * taps, :] + (xc - xc)  # keep x live
-        if out_ref.shape[0] == levels * taps:
-            out_ref[:, :] = res
-        else:
+        if pixel_major:
             out_ref[:, :] = jnp.swapaxes(res, 0, 1)
+        else:
+            out_ref[:, :] = res
         return
 
     # Tap extraction on [taps+1, P] blocks (full sublane utilization)
@@ -943,10 +953,10 @@ def _pyr_align_fwd_kernel(vol_ref, x_ref, out_ref, *, length: int, taps: int,
         sv = jnp.where(valid, sv, 0.0)
         rows.append((1.0 - frac) * sv[:taps, :] + frac * sv[1:, :])
     res = jnp.concatenate(rows, axis=0)  # [levels*taps, P]
-    if out_ref.shape[0] == levels * taps:  # "notranspose" variant
-        out_ref[:, :] = res
-    else:
+    if pixel_major:
         out_ref[:, :] = jnp.swapaxes(res, 0, 1)
+    else:
+        out_ref[:, :] = res
 
 
 def _pyr_align_bwd_kernel(x_ref, g_ref, dvol_ref, *, length: int, taps: int,

@@ -174,5 +174,26 @@ def main():
     )
 
 
+def _main_with_retry(attempts: int = 3):
+    """The axon dev tunnel drops connections transiently (observed:
+    'remote_compile: read body: response body closed' mid-run, which cost
+    round 3 its bench artifact).  Retry the whole measurement on runtime
+    errors — compiles hit the persistent cache on the second pass."""
+    for i in range(attempts):
+        try:
+            return main()
+        except SystemExit:
+            raise
+        except Exception as e:  # jax.errors.JaxRuntimeError et al.
+            if i == attempts - 1:
+                raise
+            print(
+                f"bench: attempt {i + 1} failed ({type(e).__name__}: {e}); "
+                "retrying in 30 s",
+                file=sys.stderr,
+            )
+            time.sleep(30)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()

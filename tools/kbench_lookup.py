@@ -6,12 +6,18 @@ extraction, output transpose — plus the Pallas/streaming floor, separately
 for the two production calls (GEV: deep-lane shallow-row; corr: shallow-lane
 deep-row), then reports fraction-of-VPU-peak for the full kernels.
 
-Variants (timing-only; values are wrong for anything but "full"):
+Variants (timing-only; values are wrong for anything but "full").  All
+floor/ablation variants write ROW-major ([levels*taps, tile]) so the
+output-transpose cost appears exactly once, in full - notranspose:
   copy        stream vol through the kernel, write 18 rows   -> floor
   rolls       barrel roll, write 18 aligned rows             -> floor+roll
   extract     tap extraction on the unrolled volume          -> floor+extract
   notranspose full kernel, row-major output                  -> full - transpose
-  full        the production kernel
+  full        the production kernel (pixel-major output)
+
+The "full" variant and the pyramid_lookup e2e measurement validate the
+pipelined chain's first output against a direct apply (the
+pipelined_per_call contract) and abort on mismatch.
 
 Usage:  python tools/kbench_lookup.py [--h 384 --w 1248] [--json]
 """
@@ -72,11 +78,13 @@ def main():
         x_p = jnp.pad(
             x.astype(jnp.float32).reshape(1, -1), ((0, 0), (0, rpad - r))
         )
+        pixel_major = variant == "full"
         kern = functools.partial(
             lk._pyr_align_fwd_kernel, length=length, taps=taps,
             levels=levels, radius=radius, variant=variant,
+            pixel_major=pixel_major,
         )
-        if variant == "notranspose":
+        if not pixel_major:
             out = pl.pallas_call(
                 kern,
                 grid=(rpad // tile,),
@@ -131,6 +139,16 @@ def main():
                 lambda c, v, xx, _var=variant: variant_fwd(v, xx + c, _var),
                 (vol_t, x), k=args.k,
             )
+            if variant == "full":
+                # pipelined_per_call contract: validate the chained path's
+                # first output against a direct apply so the posted number
+                # can't come from a garbage-computing chain
+                direct = variant_fwd(vol_t, x, "full")
+                np.testing.assert_allclose(
+                    np.asarray(aux["first_out"]), np.asarray(direct),
+                    rtol=1e-5, atol=1e-5,
+                    err_msg=f"{name}: chained 'full' output != direct apply",
+                )
             row[variant] = per * 1e3
             print(f"   {variant:12s} {per * 1e3:7.3f} ms  "
                   f"(t1 {aux['t1'] * 1e3:.1f}, compile {aux['compile_s']:.1f}s)")
@@ -148,6 +166,15 @@ def main():
         lambda c, dd: pyramid_lookup(pyr, dd + c, impl="pallas"),
         (disp,), k=args.k,
     )
+    direct = pyramid_lookup(pyr, disp, impl="pallas")
+    for got, want in zip(
+        jax.tree_util.tree_leaves(aux["first_out"]),
+        jax.tree_util.tree_leaves(direct),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5,
+            err_msg="pyramid_lookup e2e: chained output != direct apply",
+        )
     results["pyramid_lookup_e2e"] = per * 1e3
     print(f"-- pyramid_lookup (both calls + reshapes): {per * 1e3:.3f} ms")
 
