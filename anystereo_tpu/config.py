@@ -259,6 +259,18 @@ class TrainConfig:
     train_iters: int = 16
     valid_iters: int = 32
     grad_clip: float = 1.0
+    # Compile the train step as TWO programs (grads | optimizer apply)
+    # instead of one fused program.  None = auto: split on TPU, fused
+    # elsewhere.  Observed 2026-08-20 on the axon TPU runtime: the fused
+    # fwd+bwd+optimizer program computes NaN for a forward that the
+    # grads-only program computes finitely — identical params and batch,
+    # any optimizer (even bare optax.adamw), any lookup impl (jnp or
+    # Pallas), and round-2 code reproduce it, so it is an
+    # environment/compiler regression (that same code trained finite
+    # on-chip on 2026-08-17), not a model bug.  The split restores finite
+    # training at the cost of one extra dispatch per step (device-resident
+    # grads; no host transfer).
+    split_opt_step: Optional[bool] = None
     # skip (no-op) any update whose grads contain inf/NaN — the bf16-TPU
     # analog of the reference's AMP GradScaler step-skip (:232-239)
     skip_nonfinite: bool = True

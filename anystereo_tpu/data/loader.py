@@ -184,5 +184,8 @@ class PrefetchLoader:
             try:
                 while True:
                     out_q.get_nowait()
-            except _QueueEmpty:
+            except Exception:
+                # includes _QueueEmpty, and the TypeError the stdlib queue
+                # itself raises at interpreter teardown when its module
+                # globals (queue.Empty) have been cleared to None
                 pass

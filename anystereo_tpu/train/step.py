@@ -38,7 +38,7 @@ def make_train_step(
     divided by 4*scale — only read when supervise_init).
     """
 
-    def step(state: TrainState, batch: Dict):
+    def grad_fn(state: TrainState, batch: Dict):
         def loss_fn(params):
             variables = {"params": params}
             if state.batch_stats is not None:
@@ -70,17 +70,53 @@ def make_train_step(
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        new_state = state.apply_gradients(grads)
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["grad_norm"] = optax.global_norm(grads)
+        return metrics, grads
+
+    def _with_skips(metrics: Dict, new_state: TrainState) -> Dict:
         from anystereo_tpu.train.optimizer import SkipNonFiniteState
 
         if isinstance(new_state.opt_state, SkipNonFiniteState):
             # consecutive nonfinite-skipped steps — the trainer aborts
             # loudly when this exceeds tcfg.max_consecutive_nonfinite
             metrics["nonfinite_skips"] = new_state.opt_state.notfinite_count
-        return new_state, metrics
+        return metrics
+
+    split = tcfg.split_opt_step
+    if split is None:
+        # axon-TPU regression workaround (see TrainConfig.split_opt_step):
+        # the fused fwd+bwd+optimizer program NaNs on that runtime
+        split = jax.default_backend() == "tpu"
+
+    if split:
+        # Two programs: grads (fwd+bwd+metrics) and optimizer apply.  The
+        # grads stay on device between the two dispatches; state cannot be
+        # donated to the grad program (apply still reads it) but is donated
+        # to the apply program together with the grads.
+        def apply_fn(state: TrainState, grads):
+            return state.apply_gradients(grads)
+
+        if mesh is None:
+            jg = jax.jit(grad_fn)
+            ja = jax.jit(apply_fn, donate_argnums=(0, 1))
+        else:
+            repl = replicated(mesh)
+            jg = jax.jit(grad_fn, out_shardings=(repl, repl))
+            ja = jax.jit(apply_fn, out_shardings=repl, donate_argnums=(0, 1))
+
+        def step_split(state: TrainState, batch: Dict):
+            metrics, grads = jg(state, batch)
+            new_state = ja(state, grads)
+            return new_state, _with_skips(metrics, new_state)
+
+        return step_split
+
+    def step(state: TrainState, batch: Dict):
+        metrics, grads = grad_fn(state, batch)
+        new_state = state.apply_gradients(grads)
+        return new_state, _with_skips(metrics, new_state)
 
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))

@@ -188,6 +188,32 @@ class TestTrainStep:
         assert losses[-1] < losses[0], losses
         assert int(state.step) == 5
 
+    def test_split_opt_step_matches_fused(self, tiny_train_setup):
+        """split_opt_step=True (grads and optimizer apply as two programs —
+        the axon-TPU fused-program workaround, TrainConfig.split_opt_step)
+        computes the same update as the fused single-program step."""
+        import dataclasses
+
+        model, tcfg, state, batch = tiny_train_setup
+        s_fused = jax.tree_util.tree_map(jnp.copy, state)
+        s_split = jax.tree_util.tree_map(jnp.copy, state)
+        fused = make_train_step(model, dataclasses.replace(tcfg, split_opt_step=False))
+        split = make_train_step(model, dataclasses.replace(tcfg, split_opt_step=True))
+        s_fused, m_fused = fused(s_fused, batch)
+        s_split, m_split = split(s_split, batch)
+        assert "nonfinite_skips" in m_split and int(m_split["nonfinite_skips"]) == 0
+        np.testing.assert_allclose(
+            float(m_fused["loss"]), float(m_split["loss"]), rtol=1e-5
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_fused.params),
+            jax.tree_util.tree_leaves(s_split.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6
+            )
+        assert int(s_split.step) == 1
+
     def test_params_only_restore_filters_key_mismatch(self, tmp_path):
         """Warm-start from a differently-configured donor: keys present in
         both trees with matching shapes load; keys the donor lacks (or
