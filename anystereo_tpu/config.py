@@ -152,11 +152,18 @@ class ModelConfig:
     # Disp-head conv2 (3x3, 256→1) as a taps-on-lanes matmul + 9 shifted
     # adds: XLA's 1-output-channel conv runs at 0.4% MXU (0.158 ms/iter
     # measured); same params, same numbers up to fp32 reassociation.
-    fast_disp_head: bool = False
+    fast_disp_head: bool = True
     # Motion-encoder convc2/convd2 (two 3x3 64→64 branch convs, ~20% MXU
     # each) as one block-diagonal 3x3 128→128 conv (~91% MXU at 2 lane
     # tiles): same params, same numbers (zero cross-blocks are exact).
-    fuse_motion_convs: bool = False
+    fuse_motion_convs: bool = True
+    # Feed the lookup output to the motion encoder as split (geo, corr)
+    # parts with the Pallas kernel emitting compute-dtype directly: skips
+    # the per-GRU-iteration [B,H,W,162] concat + fp32→bf16 cast (~29 MB of
+    # HBM round-trips per iteration at the bench shape).  convc1's kernel
+    # is sliced per part (identical params; one extra fp32 reassociation
+    # at the part boundary).
+    split_lookup_concat: bool = True
     gwc_groups: int = 8
     fnet_dim: int = 256  # RAFT matching-feature dim
     liif: LiifConfig = dataclasses.field(default_factory=LiifConfig)

@@ -307,7 +307,15 @@ class AnyStereo(nn.Module):
         slow_fast = cfg.slow_fast_gru
 
         def gru_update(mdl, net, disp, pyr, ctx):
-            geo = pyramid_lookup(pyr, jax.lax.stop_gradient(disp))
+            if cfg.split_lookup_concat:
+                # split parts in compute dtype: no concat materialization,
+                # no XLA-side cast (the kernel rounds at its final store)
+                geo = pyramid_lookup(
+                    pyr, jax.lax.stop_gradient(disp), split=True,
+                    out_dtype=mdl._dt,
+                )
+            else:
+                geo = pyramid_lookup(pyr, jax.lax.stop_gradient(disp))
             if slow_fast and cfg.n_gru_layers == 3:
                 net, _ = mdl.update_block(
                     net, ctx, iter04=False, iter08=False, iter16=True, update=False
@@ -324,7 +332,7 @@ class AnyStereo(nn.Module):
             net, delta = mdl.update_block(
                 net,
                 ctx,
-                corr=geo.astype(mdl._dt),
+                corr=geo if isinstance(geo, tuple) else geo.astype(mdl._dt),
                 disp=jax.lax.stop_gradient(disp)[..., None].astype(mdl._dt),
                 iter16=cfg.n_gru_layers == 3,
                 iter08=cfg.n_gru_layers >= 2,

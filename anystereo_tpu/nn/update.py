@@ -9,7 +9,7 @@ the motion-encoder input width (162 vs 36 lookup channels).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,17 +28,19 @@ def _conv3(features, dtype, name=None):
 
 class _Conv3Params(nn.Module):
     """Parameter holder with nn.Conv's exact tree layout ({kernel, bias} at
-    this module's scope) and init distributions, for gate convs whose
-    kernels are concatenated at apply time (see ConvGRU.fuse_zr)."""
+    this module's scope) and init distributions, for convs whose kernels
+    are concatenated or sliced at apply time (ConvGRU.fuse_zr,
+    BasicMotionEncoder's split convc1)."""
 
     features: int
+    ksize: Tuple[int, int] = (3, 3)
 
     @nn.compact
     def __call__(self, in_ch: int):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (3, 3, in_ch, self.features),
+            (*self.ksize, in_ch, self.features),
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,),
@@ -146,8 +148,36 @@ class BasicMotionEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, disp, corr):
-        # disp: [B,H,W,1] (fp32, cast in); corr: [B,H,W,C_lookup]
-        c = nn.relu(nn.Conv(64, (1, 1), dtype=self.dtype, name="convc1")(corr))
+        # disp: [B,H,W,1] (fp32, cast in); corr: [B,H,W,C_lookup], or a
+        # TUPLE of lookup parts ((geo, corr) from pyramid_lookup(split=True))
+        # — then convc1's 1x1 kernel is sliced per part and the partial
+        # products summed, so the per-GRU-iteration [B,H,W,162] concat is
+        # never materialized.  Identical params; the only numeric change is
+        # one extra fp32 reassociation at the part boundary.
+        if isinstance(corr, (tuple, list)):
+            widths = [p.shape[-1] for p in corr]
+            kc1, bc1 = _Conv3Params(64, ksize=(1, 1), name="convc1")(
+                sum(widths)
+            )
+            dt = (
+                jnp.promote_types(corr[0].dtype, kc1.dtype)
+                if self.dtype is None
+                else self.dtype
+            )
+            acc = bc1.astype(dt)
+            off = 0
+            for p, wdt in zip(corr, widths):
+                acc = acc + jax.lax.dot_general(
+                    p.astype(dt),
+                    kc1[0, 0, off : off + wdt, :].astype(dt),
+                    (((3,), (0,)), ((), ())),
+                )
+                off += wdt
+            c = nn.relu(acc)
+        else:
+            c = nn.relu(
+                nn.Conv(64, (1, 1), dtype=self.dtype, name="convc1")(corr)
+            )
         d = nn.relu(
             nn.Conv(64, (7, 7), padding=((3, 3), (3, 3)), dtype=self.dtype,
                     name="convd1")(disp)

@@ -129,7 +129,9 @@ def pyramid_lookup(
     disp: jnp.ndarray,
     coords: Optional[jnp.ndarray] = None,
     impl: Optional[str] = None,
-) -> jnp.ndarray:
+    split: bool = False,
+    out_dtype=None,
+):
     """Sample 2r+1 taps around the current disparity at every pyramid level.
 
     disp:   [B, H, W] current disparity estimate (fp32; callers stop_gradient
@@ -138,7 +140,14 @@ def pyramid_lookup(
     coords: [B, H, W] or [W] x-coordinate of each column (defaults to
             arange(W); an explicit value supports spatially-sharded tiles
             whose global offset differs).
-    returns [B, H, W, C_lookup] fp32.
+    split:  return the per-volume parts as a tuple ((geo, corr) for IGEV,
+            (corr,) for RAFT) instead of concatenating — lets the motion
+            encoder contract each part against a slice of its 1x1 conv
+            kernel, skipping the per-GRU-iteration concat materialization.
+    out_dtype: cast the result to this dtype (the Pallas aligned kernel
+            rounds at its final store, eliding the XLA-side cast; the
+            interpolation math stays fp32 in every impl).  None = fp32.
+    returns [B, H, W, C_lookup] (or the split tuple).
 
     Tap positions (geometry.py:41-53):
       GEV:  x0 = disp / 2^i + dx,          sampled from the D axis;
@@ -155,6 +164,16 @@ def pyramid_lookup(
     if coords is None:
         coords = jnp.arange(w, dtype=jnp.float32)
     coords = jnp.broadcast_to(coords, (b, h, w)).astype(jnp.float32)
+    out_name = jnp.dtype(out_dtype or jnp.float32).name
+
+    def _finish(parts):
+        parts = [
+            p if p.dtype == jnp.dtype(out_name) else p.astype(out_name)
+            for p in parts
+        ]
+        if split:
+            return tuple(parts)
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
 
     if impl == "pallas":
         # fused transposed kernel with pixel-major output: one call per
@@ -187,16 +206,16 @@ def pyramid_lookup(
                 ).reshape(-1)
                 geo_pm = gather_pyramid_aligned_pm(
                     geo0.reshape(-1, geo0.shape[-1]).T, x_g, k, n_lvl,
-                    interpret,
+                    interpret, out_name,
                 )  # [B*H*W*G, levels*K], rows (pixel, g)-major
                 out.append(geo_pm.reshape(b, h, w, g * n_lvl * k))
             corr0 = pyr.corr_levels[0]
             corr_pm = gather_pyramid_aligned_pm(
                 corr0.reshape(-1, corr0.shape[-1]).T,
-                (coords - disp).reshape(-1), k, n_lvl, interpret,
+                (coords - disp).reshape(-1), k, n_lvl, interpret, out_name,
             )  # [B*H*W, levels*K]
             out.append(corr_pm.reshape(b, h, w, n_lvl * k))
-            return jnp.concatenate(out, axis=-1) if len(out) > 1 else out[0]
+            return _finish(out)
 
         scales = jnp.asarray([2.0**-i for i in range(n_lvl)], jnp.float32)
         if pyr.geo_levels is not None:
@@ -216,7 +235,7 @@ def pyramid_lookup(
             corr0.reshape(-1, corr0.shape[-1]).T, cbases.T, k, interpret
         )  # [B*H*W, levels*K]
         out.append(corr_pm.reshape(b, h, w, n_lvl * k))
-        return jnp.concatenate(out, axis=-1) if len(out) > 1 else out[0]
+        return _finish(out)
 
     out = []
     if pyr.geo_levels is not None:
@@ -230,12 +249,18 @@ def pyramid_lookup(
             geo_taps.append(_gather_window(geo, base_g, k))  # [B,H,W,G,K]
         # internal order: [G, levels, K] flattened (group-major)
         out.append(jnp.stack(geo_taps, axis=-2).reshape(b, h, w, g * n_lvl * k))
+    corr_taps = []
     for i in range(n_lvl):
         scale = 1.0 / (2.0**i)
         corr = pyr.corr_levels[i]  # [B, H, W, W2i]
         cbase = (coords - disp) * scale - r
-        out.append(_gather_window(corr, cbase, k))  # [B, H, W, K]
-    return jnp.concatenate(out, axis=-1) if len(out) > 1 else out[0]
+        corr_taps.append(_gather_window(corr, cbase, k))  # [B, H, W, K]
+    out.append(
+        jnp.concatenate(corr_taps, axis=-1)
+        if len(corr_taps) > 1
+        else corr_taps[0]
+    )
+    return _finish(out)
 
 
 def lookup_channels(num_levels: int, radius: int, groups: Optional[int]) -> int:

@@ -918,9 +918,9 @@ def _pyr_align_fwd_kernel(vol_ref, x_ref, out_ref, *, length: int, taps: int,
     if variant in ("copy", "rolls"):
         res = aligned[0:levels * taps, :] + (xc - xc)  # keep x live
         if pixel_major:
-            out_ref[:, :] = jnp.swapaxes(res, 0, 1)
+            out_ref[:, :] = jnp.swapaxes(res, 0, 1).astype(out_ref.dtype)
         else:
-            out_ref[:, :] = res
+            out_ref[:, :] = res.astype(out_ref.dtype)
         return
 
     # Tap extraction on [taps+1, P] blocks (full sublane utilization)
@@ -952,11 +952,14 @@ def _pyr_align_fwd_kernel(vol_ref, x_ref, out_ref, *, length: int, taps: int,
         valid = (i0 + j_idx >= 0) & (i0 + j_idx <= l_lvl - 1)
         sv = jnp.where(valid, sv, 0.0)
         rows.append((1.0 - frac) * sv[:taps, :] + frac * sv[1:, :])
+    # interpolation stays fp32 throughout; only the final store rounds to
+    # the requested output dtype (same rounding as the XLA-side cast the
+    # bf16-out mode replaces)
     res = jnp.concatenate(rows, axis=0)  # [levels*taps, P]
     if pixel_major:
-        out_ref[:, :] = jnp.swapaxes(res, 0, 1)
+        out_ref[:, :] = jnp.swapaxes(res, 0, 1).astype(out_ref.dtype)
     else:
-        out_ref[:, :] = res
+        out_ref[:, :] = res.astype(out_ref.dtype)
 
 
 def _pyr_align_bwd_kernel(x_ref, g_ref, dvol_ref, *, length: int, taps: int,
@@ -1014,7 +1017,8 @@ def _align_lpad(length: int, taps: int, levels: int, radius: int) -> int:
     return _round_up(max(length, window, 8), 8)
 
 
-def _pyr_a_pm_pallas_fwd(vol_t, x, taps: int, levels: int, interpret: bool):
+def _pyr_a_pm_pallas_fwd(vol_t, x, taps: int, levels: int, interpret: bool,
+                         out_dtype_name: str = "float32"):
     length, r = vol_t.shape
     radius = (taps - 1) // 2
     lpad = _align_lpad(length, taps, levels, radius)
@@ -1035,7 +1039,9 @@ def _pyr_a_pm_pallas_fwd(vol_t, x, taps: int, levels: int, interpret: bool):
             pl.BlockSpec((1, tile), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((tile, levels * taps), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((rpad, levels * taps), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (rpad, levels * taps), jnp.dtype(out_dtype_name)
+        ),
         interpret=interpret,
     )(vol_p, x_p)
     return out[:r]
@@ -1069,9 +1075,9 @@ def _pyr_a_pm_pallas_bwd(x, g, length: int, taps: int, levels: int,
 
 if _HAS_PALLAS:
     _pyr_a_pm_fwd_sharded = custom_partitioning(
-        _pyr_a_pm_pallas_fwd, static_argnums=(2, 3, 4)
+        _pyr_a_pm_pallas_fwd, static_argnums=(2, 3, 4, 5)
     )
-    _p, _i = _pm_partition(_pyr_a_pm_pallas_fwd, (1, 0), 0, n_static=3)
+    _p, _i = _pm_partition(_pyr_a_pm_pallas_fwd, (1, 0), 0, n_static=4)
     _pyr_a_pm_fwd_sharded.def_partition(
         partition=_p,
         infer_sharding_from_operands=_i,
@@ -1093,10 +1099,10 @@ else:  # pragma: no cover
     _pyr_a_pm_fwd_sharded = _pyr_a_pm_bwd_sharded = None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def gather_pyramid_aligned_pm(
     vol_t: jnp.ndarray, x: jnp.ndarray, taps: int, levels: int,
-    interpret: bool = False,
+    interpret: bool = False, out_dtype_name: str = "float32",
 ):
     """Barrel-shift-aligned pyramid lookup, pixel-major output.
 
@@ -1108,18 +1114,19 @@ def gather_pyramid_aligned_pm(
     lvl reads the avg-pool-by-2^lvl of each column (floor truncation,
     geometry.py:24-28) derived in-kernel from one per-lane barrel roll.
     Positions are non-differentiable.  Partitions over R under GSPMD."""
-    return _pyr_a_pm_fwd_sharded(vol_t, x, taps, levels, interpret)
+    return _pyr_a_pm_fwd_sharded(vol_t, x, taps, levels, interpret,
+                                 out_dtype_name)
 
 
-def _gpa_fwd(vol_t, x, taps, levels, interpret):
-    return _pyr_a_pm_fwd_sharded(vol_t, x, taps, levels, interpret), (
-        x,
-        vol_t.shape[0],
-    )
+def _gpa_fwd(vol_t, x, taps, levels, interpret, out_dtype_name):
+    return _pyr_a_pm_fwd_sharded(
+        vol_t, x, taps, levels, interpret, out_dtype_name
+    ), (x, vol_t.shape[0])
 
 
-def _gpa_bwd(taps, levels, interpret, res, g):
+def _gpa_bwd(taps, levels, interpret, out_dtype_name, res, g):
     x, length = res
+    # _pyr_a_pm_pallas_bwd upcasts g to fp32 internally; dvol is fp32
     return _pyr_a_pm_bwd_sharded(x, g, length, taps, levels, interpret), None
 
 

@@ -19,7 +19,8 @@ torch.nn.functional.grid_sample:
 
 from __future__ import annotations
 
-from typing import Tuple
+import os
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,23 +55,87 @@ def _nearest_indices(c: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.clip(jnp.round(ix).astype(jnp.int32), 0, n - 1)
 
 
+# -- query-gather implementation dispatch (mirrors ops/lookup.py) -- #
+_GATHER_OVERRIDE: Optional[Tuple[str, bool]] = None  # (impl, interpret)
+
+# the Pallas kernel holds the whole table in VMEM; beyond this it cannot
+# run (and the latent tables this op exists for are far smaller)
+_PALLAS_TABLE_BYTES_MAX = 6 * 1024 * 1024
+
+
+def set_gather_override(impl: Optional[str], interpret: bool = False):
+    """Force the query-gather implementation globally — "jnp" / "pallas",
+    or None to restore auto dispatch (test/benchmark hook)."""
+    global _GATHER_OVERRIDE
+    _GATHER_OVERRIDE = None if impl is None else (impl, interpret)
+
+
+def _gather_impl(
+    table_bytes: int, rows: int, channels: int
+) -> Tuple[str, bool]:
+    if _GATHER_OVERRIDE is not None:
+        return _GATHER_OVERRIDE
+    env = os.environ.get("ANYSTEREO_GATHER_IMPL")
+    if env:
+        return env, False
+    # On-chip A/B (tools/kbench_gather.py, 2026-08-20, fwd+bwd at training
+    # shapes): XLA's DMA-driven row gather beats the one-hot MXU
+    # formulation FORWARD at every production shape, and its scatter-add
+    # transpose is competitive for wide tables — but for NARROW small-N
+    # tables (the 9-tap disparity rows) the XLA scatter is pathological
+    # (0.78 ms vs 0.16 ms) and the hybrid (XLA fwd + Pallas one-hot-matmul
+    # bwd) wins 1.4x end-to-end.  Everything else stays jnp: the one-hot
+    # route spends Q*N*C MACs for Q*C useful values, which only pays where
+    # XLA's transpose is that bad.
+    if (
+        jax.default_backend() == "tpu"
+        and table_bytes <= _PALLAS_TABLE_BYTES_MAX
+        and rows <= 4096
+        and channels <= 16
+    ):
+        return "hybrid", False
+    return "jnp", False
+
+
+def gather_rows_flat(flat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out[b, q] = flat[b, idx[b, q]] — batched row gather with impl
+    dispatch: the Pallas MXU one-hot-tile kernel on TPU (VMEM-resident
+    table, scatter-add-as-matmul backward — ops/pallas/gather_kernel.py),
+    a vmapped jnp.take elsewhere (take_along_axis with a broadcast
+    trailing index lowers to Q*C scalar gathers on TPU, measured ~1000x
+    slower at decode sizes).
+
+    flat: [B, N, C]; idx: [B, Q] int32 → [B, Q, C]
+    """
+    impl, interpret = _gather_impl(
+        flat.shape[1] * flat.shape[2] * flat.dtype.itemsize,
+        flat.shape[1],
+        flat.shape[2],
+    )
+    if impl == "pallas":
+        from anystereo_tpu.ops.pallas.gather_kernel import gather_rows
+
+        return gather_rows(flat, idx, interpret)
+    if impl == "hybrid":
+        from anystereo_tpu.ops.pallas.gather_kernel import gather_rows_hybrid
+
+        return gather_rows_hybrid(flat, idx, interpret)
+    return jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(flat, idx)
+
+
 def nearest_sample(feat: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor sample of an NHWC map at normalized (y, x) queries.
 
     feat:   [B, H, W, C]
     coords: [B, Q, 2] in [-1, 1], (y, x) order
     returns [B, Q, C]
-
-    Gathers whole channel rows ([1, C] slices) via a vmapped jnp.take —
-    take_along_axis with a broadcast trailing index lowers to Q*C scalar
-    gathers on TPU (measured ~1000x slower at decode sizes).
     """
     _, h, w, _ = feat.shape
     iy = _nearest_indices(coords[..., 0], h)  # [B, Q]
     ix = _nearest_indices(coords[..., 1], w)
     flat = feat.reshape(feat.shape[0], h * w, feat.shape[-1])
     idx = iy * w + ix
-    return jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(flat, idx)
+    return gather_rows_flat(flat, idx)
 
 
 def nearest_dense_gather(x: jnp.ndarray, ys: jnp.ndarray, xs: jnp.ndarray):

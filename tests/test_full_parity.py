@@ -50,6 +50,11 @@ def _parity_cfg(**kw):
         norm_2d=NormType.FROZEN_BATCH,
         norm_3d=NormType.FROZEN_BATCH,
         compute_dtype="float32",
+        # parity is judged against the reference conv forms; the MXU-layout
+        # rewrites (default-on for perf) are equivalence-tested separately
+        # in test_variants.py
+        fast_disp_head=False,
+        fuse_motion_convs=False,
     )
     base.update(kw)
     return ModelConfig(**base)

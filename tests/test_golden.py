@@ -48,9 +48,17 @@ def _forward(cfg):
 pytestmark = pytest.mark.slow
 
 
+# goldens were generated from the reference conv forms; the default-on MXU
+# layout rewrites (fast_disp_head / fuse_motion_convs) reassociate fp32
+# reductions, which the iterative refinement amplifies past the band at
+# RAFT's zero-init — their equivalence to the conv forms is pinned
+# separately (test_variants.py), so the golden gate pins the base numerics
+_PIN = dict(fast_disp_head=False, fuse_motion_convs=False)
+
+
 class TestGolden:
     def test_igev_outputs_stable(self):
-        out = _forward(ModelConfig(max_disp=32))
+        out = _forward(ModelConfig(max_disp=32, **_PIN))
         np.testing.assert_allclose(
             np.asarray(out.disp_preds[-1, 0]), GOLDEN["igev"], rtol=2e-3,
             atol=2e-2,
@@ -61,7 +69,7 @@ class TestGolden:
         )
 
     def test_raft_outputs_stable(self):
-        out = _forward(raft_config(max_disp=32, corr_levels=2))
+        out = _forward(raft_config(max_disp=32, corr_levels=2, **_PIN))
         np.testing.assert_allclose(
             np.asarray(out.disp_preds[-1, 0]), GOLDEN["raft"], rtol=2e-3,
             atol=2e-2,

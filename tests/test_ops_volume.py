@@ -147,6 +147,39 @@ class TestPyramidLookup:
         np.testing.assert_allclose(got_nchw, want, rtol=1e-4, atol=1e-4)
         assert got.shape[-1] == levels * (2 * r + 1) * (g + 1)
 
+    def test_split_and_out_dtype_match_concat(self, rng):
+        """pyramid_lookup(split=True) parts concatenated must equal the
+        fused output, per impl; out_dtype=bf16 must equal astype(bf16) of
+        the fp32 result (rounding at the same point)."""
+        from anystereo_tpu.ops.lookup import set_impl_override
+
+        b, h, w, c, g, d = 1, 3, 10, 8, 4, 8
+        fl = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        fr = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))
+        geo = jnp.asarray(rng.randn(b, h, w, g, d).astype(np.float32))
+        corr = all_pairs_correlation(fl, fr)
+        pyr = build_pyramid(corr, geo, num_levels=2, radius=2)
+        disp = jnp.asarray(rng.rand(b, h, w).astype(np.float32) * d)
+        for impl, interp in (("jnp", False), ("pallas", True)):
+            set_impl_override(impl, interpret=interp)
+            try:
+                full = pyramid_lookup(pyr, disp)
+                parts = pyramid_lookup(pyr, disp, split=True)
+                bf = pyramid_lookup(
+                    pyr, disp, split=True, out_dtype=jnp.bfloat16
+                )
+            finally:
+                set_impl_override(None)
+            assert isinstance(parts, tuple) and len(parts) == 2
+            np.testing.assert_array_equal(
+                np.asarray(jnp.concatenate(parts, axis=-1)), np.asarray(full)
+            )
+            assert all(p.dtype == jnp.bfloat16 for p in bf)
+            np.testing.assert_array_equal(
+                np.asarray(jnp.concatenate(bf, axis=-1), np.float32),
+                np.asarray(full.astype(jnp.bfloat16), np.float32),
+            )
+
     def test_raft_lookup_channels(self, rng):
         b, h, w, c = 1, 3, 12, 8
         fl = jnp.asarray(rng.randn(b, h, w, c).astype(np.float32))

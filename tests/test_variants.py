@@ -224,12 +224,90 @@ class TestGruVariants:
             rtol=0, atol=1e-5,
         )
 
+    def test_split_lookup_concat_identical(self):
+        """split_lookup_concat feeds the motion encoder split (geo, corr)
+        parts with convc1's kernel sliced per part: same param tree, same
+        numbers up to ONE fp32 reassociation at the part boundary."""
+        base = ModelConfig(
+            max_disp=32, compute_dtype="float32", split_lookup_concat=False
+        )
+        split = dataclasses.replace(base, split_lookup_concat=True)
+        m0, m1 = AnyStereo(base), AnyStereo(split)
+        rng = np.random.RandomState(8)
+        b, h, w, q = 1, 32, 64, 32
+        left = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        right = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        coords = jnp.asarray(
+            (rng.rand(b, q, 2).astype(np.float32) * 2 - 1) * 0.99
+        )
+        scale = jnp.asarray([1.0], np.float32)
+        v0 = m0.init(jax.random.PRNGKey(7), left, right, iters=2,
+                     coords=coords, scale=scale)
+        v1 = m1.init(jax.random.PRNGKey(7), left, right, iters=2,
+                     coords=coords, scale=scale)
+        p0 = jax.tree_util.tree_leaves_with_path(v0["params"])
+        p1 = jax.tree_util.tree_leaves_with_path(v1["params"])
+        assert [k for k, _ in p0] == [k for k, _ in p1]
+        for (_, a), (_, b_) in zip(p0, p1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        o0 = m0.apply(v0, left, right, iters=2, coords=coords, scale=scale,
+                      mode="train")
+        o1 = m1.apply(v0, left, right, iters=2, coords=coords, scale=scale,
+                      mode="train")
+        np.testing.assert_allclose(
+            np.asarray(o0.disp_preds), np.asarray(o1.disp_preds),
+            rtol=0, atol=5e-4,
+        )
+
+    def test_mxu_rewrites_identical_raft_core(self):
+        """Both MXU layout rewrites at once on the RAFT core (distinct
+        motion-encoder widths, zero-init disparity): same param tree, same
+        outputs up to fp32 reassociation in the disp head."""
+        from anystereo_tpu.config import raft_config
+
+        base = raft_config(
+            max_disp=32, corr_levels=2, compute_dtype="float32",
+            fast_disp_head=False, fuse_motion_convs=False,
+        )
+        both = dataclasses.replace(
+            base, fast_disp_head=True, fuse_motion_convs=True
+        )
+        m0, m1 = AnyStereo(base), AnyStereo(both)
+        rng = np.random.RandomState(6)
+        b, h, w, q = 1, 32, 64, 32
+        left = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        right = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        coords = jnp.asarray(
+            (rng.rand(b, q, 2).astype(np.float32) * 2 - 1) * 0.99
+        )
+        scale = jnp.asarray([1.0], np.float32)
+        v0 = m0.init(jax.random.PRNGKey(7), left, right, iters=2,
+                     coords=coords, scale=scale)
+        v1 = m1.init(jax.random.PRNGKey(7), left, right, iters=2,
+                     coords=coords, scale=scale)
+        p0 = jax.tree_util.tree_leaves_with_path(v0["params"])
+        p1 = jax.tree_util.tree_leaves_with_path(v1["params"])
+        assert [k for k, _ in p0] == [k for k, _ in p1]
+        for (_, a), (_, b_) in zip(p0, p1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        o0 = m0.apply(v0, left, right, iters=2, coords=coords, scale=scale,
+                      mode="train")
+        o1 = m1.apply(v0, left, right, iters=2, coords=coords, scale=scale,
+                      mode="train")
+        np.testing.assert_allclose(
+            np.asarray(o0.disp_preds), np.asarray(o1.disp_preds),
+            rtol=0, atol=5e-4,
+        )
+
     def test_fast_disp_head_identical(self):
         """fast_disp_head rewrites the disp-head conv2 (3x3, 256→1) as a
         taps-on-lanes matmul + 9 shifted adds: the param tree is unchanged
         and the full-model outputs match the conv form up to fp32
         reassociation (the reduction over the 2304 products is reordered)."""
-        base = ModelConfig(max_disp=32, compute_dtype="float32")
+        base = ModelConfig(
+            max_disp=32, compute_dtype="float32",
+            fast_disp_head=False, fuse_motion_convs=False,
+        )
         fast = dataclasses.replace(base, fast_disp_head=True)
         m0, m1 = AnyStereo(base), AnyStereo(fast)
         rng = np.random.RandomState(4)
@@ -263,7 +341,10 @@ class TestGruVariants:
         """fuse_motion_convs runs convc2/convd2 as one block-diagonal 3x3
         128→128 conv: param tree unchanged, outputs exactly equal (the zero
         cross-branch blocks contribute exact zeros to the accumulation)."""
-        base = ModelConfig(max_disp=32, compute_dtype="float32")
+        base = ModelConfig(
+            max_disp=32, compute_dtype="float32",
+            fast_disp_head=False, fuse_motion_convs=False,
+        )
         fused = dataclasses.replace(base, fuse_motion_convs=True)
         m0, m1 = AnyStereo(base), AnyStereo(fused)
         rng = np.random.RandomState(5)

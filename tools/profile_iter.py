@@ -88,6 +88,24 @@ def main():
 
         return f
 
+    def lookup_split(iters):
+        """The production handoff (split_lookup_concat): split parts,
+        compute-dtype out — no concat, no cast."""
+
+        def f(c, v, disp):
+            def body(carry, _):
+                d = carry
+                parts = pyramid_lookup(pyr, d, split=True, out_dtype=dt)
+                return (
+                    d + parts[0][..., 0].astype(jnp.float32) * 1e-9,
+                    None,
+                )
+
+            out, _ = jax.lax.scan(body, disp + c, None, length=iters)
+            return out
+
+        return f
+
     def update_only(iters):
         def f(c, v, disp):
             def body(mdl, carry, _):
@@ -134,6 +152,9 @@ def main():
     if args.only in ("lookup", "both"):
         res["lookup_ms_per_iter"] = round(
             slope(lookup_only, "pyramid_lookup") * 1000, 3
+        )
+        res["lookup_split_ms_per_iter"] = round(
+            slope(lookup_split, "pyramid_lookup(split)") * 1000, 3
         )
     if args.only in ("update", "both"):
         res["update_ms_per_iter"] = round(
