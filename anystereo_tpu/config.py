@@ -164,6 +164,19 @@ class ModelConfig:
     # is sliced per part (identical params; one extra fp32 reassociation
     # at the part boundary).
     split_lookup_concat: bool = True
+    # ConvGRU q-conv joint schedule: evaluate the x-rows of convq together
+    # with convz/convr as one wide conv over hx (the q conv waits on r and
+    # measured ~52% MXU standalone; its x-part has no such dependence),
+    # leaving a thin hidden->hidden conv on the serial r*h path.  Identical
+    # param tree; one fp32 reassociation at the h/x row boundary.
+    joint_gru_convs: bool = False
+    # Run left+right through the shared-weight matching encoders/stems as
+    # one batched call (numerically identical: all norms are per-sample).
+    # Measured on-chip 2026-08-20 (tools/profile_matching.py, 384x1248):
+    # batched 13.38 ms vs sequential 6.91 ms for the SAME two images —
+    # XLA:TPU's space-to-batch conv optimization only fires at batch 1, so
+    # doubling the batch halves full-res conv efficiency.  Default OFF.
+    batch_lr_matching: bool = False
     gwc_groups: int = 8
     fnet_dim: int = 256  # RAFT matching-feature dim
     liif: LiifConfig = dataclasses.field(default_factory=LiifConfig)

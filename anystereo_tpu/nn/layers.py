@@ -94,6 +94,18 @@ def make_norm(kind: NormType, features: int, dtype=None) -> Callable:
     raise ValueError(kind)
 
 
+# A/B toggle for the kd-tap lane-widening inside the folded 3-D convs
+# (tools/profile_stages.py measured the 3-conv form vs the single widened
+# conv; see docs/PERF.md round-5 notes).  Module-level because the folded
+# convs are built deep inside ConvNormAct without config access.
+_WIDEN_FOLDS = False
+
+
+def set_widen_folds(on: bool) -> None:
+    global _WIDEN_FOLDS
+    _WIDEN_FOLDS = bool(on)
+
+
 _ACTS = {
     "leaky": lambda x: nn.leaky_relu(x, negative_slope=0.01),  # torch default slope
     "relu": nn.relu,
@@ -133,14 +145,26 @@ class _Conv3x3x3Folded(nn.Module):
         dt = self.dtype or x.dtype
         b, d, h, wd, _ = x.shape
         x2 = x.reshape(b * d, h, wd, ci).astype(dt)
-        wdt = w.astype(dt)
-        outs = [
-            jax.lax.conv_general_dilated(
-                x2, wdt[kd], (1, 1), ((1, 1), (1, 1)),
+        if _WIDEN_FOLDS:
+            # all three kd-taps read the SAME depth-batched input → ONE
+            # conv with the kd kernels concatenated on the output-channel
+            # axis (N = 3*Co), then a depth-shifted add of channel groups
+            wcat = jnp.concatenate([w[0], w[1], w[2]], axis=-1).astype(dt)
+            o = jax.lax.conv_general_dilated(
+                x2, wcat, (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            ).reshape(b, d, h, wd, self.features)
-            for kd in range(3)
-        ]
+            ).reshape(b, d, h, wd, 3 * self.features)
+            f = self.features
+            outs = [o[..., i * f : (i + 1) * f] for i in range(3)]
+        else:
+            wdt = w.astype(dt)
+            outs = [
+                jax.lax.conv_general_dilated(
+                    x2, wdt[kd], (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ).reshape(b, d, h, wd, self.features)
+                for kd in range(3)
+            ]
         z = jnp.zeros_like(outs[0][:, :1])
         y = (
             jnp.concatenate([z, outs[0][:, :-1]], axis=1)
@@ -323,17 +347,35 @@ class TorchConvTranspose(nn.Module):
         even/odd slabs are interleaved by a stack+reshape."""
         b, d, h, wd, ci = x.shape
         x2 = x.reshape(b * d, h, wd, ci).astype(dt)
-        ys = []
-        for kd in range(4):
+        if _WIDEN_FOLDS:
+            # all four kd-taps read the same depth-batched input → one conv
+            # with N = 4*Co, then slice the channel groups
+            wcat = jnp.concatenate([wf[kd] for kd in range(4)], axis=-1)
             o = jax.lax.conv_general_dilated(
                 x2,
-                wf[kd].astype(dt),
+                wcat.astype(dt),
                 window_strides=(1, 1),
                 padding=((2, 2), (2, 2)),
                 lhs_dilation=(2, 2),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-            ys.append(o.reshape(b, d, o.shape[1], o.shape[2], self.features))
+            o = o.reshape(b, d, o.shape[1], o.shape[2], 4 * self.features)
+            f = self.features
+            ys = [o[..., i * f : (i + 1) * f] for i in range(4)]
+        else:
+            ys = []
+            for kd in range(4):
+                o = jax.lax.conv_general_dilated(
+                    x2,
+                    wf[kd].astype(dt),
+                    window_strides=(1, 1),
+                    padding=((2, 2), (2, 2)),
+                    lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+                ys.append(
+                    o.reshape(b, d, o.shape[1], o.shape[2], self.features)
+                )
         z = jnp.zeros_like(ys[0][:, :1])
         even = jnp.concatenate([z, ys[0][:, :-1]], axis=1) + ys[2]
         odd = ys[1] + jnp.concatenate([ys[3][:, 1:], z], axis=1)

@@ -62,12 +62,15 @@ class ConvGRU(nn.Module):
     hidden_dim: int
     dtype: Optional[Dtype] = None
     fuse_zr: bool = False
+    joint_qx: bool = False
 
     @nn.compact
     def __call__(self, h, context, *inputs):
         cz, cr, cq = context
         x = jnp.concatenate(list(inputs), axis=-1)
         hx = jnp.concatenate([h, x], axis=-1)
+        if self.joint_qx:
+            return self._joint(h, x, hx, cz, cr, cq)
         if self.fuse_zr:
             kz, bz = _Conv3Params(self.hidden_dim, name="convz")(hx.shape[-1])
             kr, br = _Conv3Params(self.hidden_dim, name="convr")(hx.shape[-1])
@@ -98,6 +101,56 @@ class ConvGRU(nn.Module):
             )
             + cq
         )
+        return (1.0 - z) * h + z * q
+
+    def _joint(self, h, x, hx, cz, cr, cq):
+        """joint_qx schedule (round-5): q's input is concat([r*h, x]) — only
+        its first hidden_dim rows depend on r.  Evaluate the x-rows of convq
+        JOINTLY with convz/convr as one 3-N-tile conv over hx (the h-rows of
+        the qx column are structurally zero), leaving only a thin
+        hidden→hidden conv on the serial r*h path.  Rationale: the q conv
+        measured ~52% MXU and cannot join XLA's z/r coalition because it
+        waits on r (docs/PERF.md round-3 table); this moves 2/3 of its MACs
+        into the wide leading conv that has no data dependence.  Param tree
+        identical (convz/convr/convq kernels sliced at apply); numerics: the
+        q parts are MXU-accumulated fp32 and summed in fp32 before one cast
+        — a single fp32 reassociation at the h/x row boundary, plus one
+        bf16 rounding of the qx partial at the fused-conv store."""
+        hd = self.hidden_dim
+        in_all = hx.shape[-1]
+        kz, bz = _Conv3Params(hd, name="convz")(in_all)
+        kr, br = _Conv3Params(hd, name="convr")(in_all)
+        kq, bq = _Conv3Params(hd, name="convq")(in_all)
+        dt = (
+            jnp.promote_types(hx.dtype, kz.dtype)
+            if self.dtype is None
+            else self.dtype
+        )
+        kqx = jnp.concatenate(
+            [jnp.zeros_like(kq[:, :, :hd]), kq[:, :, hd:]], axis=2
+        )
+        kbig = jnp.concatenate([kz, kr, kqx], axis=-1)  # [3,3,in,3*hd]
+        zrq = jax.lax.conv_general_dilated(
+            hx.astype(dt),
+            kbig.astype(dt),
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        z = nn.sigmoid(zrq[..., :hd] + bz.astype(dt) + cz)
+        r = nn.sigmoid(zrq[..., hd : 2 * hd] + br.astype(dt) + cr)
+        qh = jax.lax.conv_general_dilated(
+            (r * h).astype(dt),
+            kq[:, :, :hd, :].astype(dt),
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        q_pre = (
+            zrq[..., 2 * hd :].astype(jnp.float32) + qh + bq
+        ).astype(dt)
+        q = jnp.tanh(q_pre + cq)
         return (1.0 - z) * h + z * q
 
 
@@ -152,8 +205,11 @@ class BasicMotionEncoder(nn.Module):
         # TUPLE of lookup parts ((geo, corr) from pyramid_lookup(split=True))
         # — then convc1's 1x1 kernel is sliced per part and the partial
         # products summed, so the per-GRU-iteration [B,H,W,162] concat is
-        # never materialized.  Identical params; the only numeric change is
-        # one extra fp32 reassociation at the part boundary.
+        # never materialized.  Identical params; the partial products are
+        # MXU-accumulated in fp32 (preferred_element_type) and summed in
+        # fp32 before one cast to compute dtype, so the only numeric change
+        # vs the single conv is one fp32 reassociation at the part boundary
+        # (no extra bf16 rounding even when dtype=bfloat16).
         if isinstance(corr, (tuple, list)):
             widths = [p.shape[-1] for p in corr]
             kc1, bc1 = _Conv3Params(64, ksize=(1, 1), name="convc1")(
@@ -164,16 +220,17 @@ class BasicMotionEncoder(nn.Module):
                 if self.dtype is None
                 else self.dtype
             )
-            acc = bc1.astype(dt)
+            acc = bc1.astype(jnp.float32)
             off = 0
             for p, wdt in zip(corr, widths):
                 acc = acc + jax.lax.dot_general(
                     p.astype(dt),
                     kc1[0, 0, off : off + wdt, :].astype(dt),
                     (((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
                 off += wdt
-            c = nn.relu(acc)
+            c = nn.relu(acc.astype(dt))
         else:
             c = nn.relu(
                 nn.Conv(64, (1, 1), dtype=self.dtype, name="convc1")(corr)
@@ -277,6 +334,7 @@ class BasicMultiUpdateBlock(nn.Module):
     n_layers: int = 3
     gru_type: str = "conv"  # "conv" | "sep" (SepConvGRU, no context gates)
     fuse_zr: bool = False  # fused z/r gate conv (numerics-identical)
+    joint_qx: bool = False  # ConvGRU.joint_qx schedule (one reassociation)
     head_shift_matmul: bool = False  # disp-head conv2 as matmul+shifts
     fuse_motion_convs: bool = False  # block-diag convc2+convd2 (identical)
     dtype: Optional[Dtype] = None
@@ -288,7 +346,8 @@ class BasicMultiUpdateBlock(nn.Module):
         if self.gru_type == "sep":
             cell = SepConvGRU(hidden_dim, self.dtype, name=name)
             return lambda h, context, *inputs: cell(h, *inputs)
-        return ConvGRU(hidden_dim, self.dtype, fuse_zr=self.fuse_zr, name=name)
+        return ConvGRU(hidden_dim, self.dtype, fuse_zr=self.fuse_zr,
+                       joint_qx=self.joint_qx, name=name)
 
     @nn.compact
     def __call__(

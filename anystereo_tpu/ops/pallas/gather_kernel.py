@@ -168,6 +168,9 @@ def _gather_rows_pallas_fwd(table, idx, interpret: bool):
 
 def _gather_rows_pallas_bwd(idx, g, n: int, interpret: bool):
     """idx: [B, Q]; g: [B, Q, C] → d_table [B, N, C] fp32."""
+    # idx rides as f32 inside the kernel (same transport as the forward);
+    # beyond 2^24 rows the compare would silently alias — fail loudly.
+    assert n < (1 << 24), "f32 one-hot compare requires N < 2^24"
     b, q = idx.shape
     c = g.shape[2]
     npad = _round_up(max(n, _NK), _NK)

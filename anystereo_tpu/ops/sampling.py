@@ -77,7 +77,13 @@ def _gather_impl(
         return _GATHER_OVERRIDE
     env = os.environ.get("ANYSTEREO_GATHER_IMPL")
     if env:
-        return env, False
+        if env not in ("jnp", "pallas", "hybrid"):
+            raise ValueError(
+                f"ANYSTEREO_GATHER_IMPL={env!r}: expected jnp|pallas|hybrid"
+            )
+        # Pallas paths only run compiled on TPU; elsewhere fall back to
+        # interpret mode so the override stays usable in CPU tests.
+        return env, jax.default_backend() != "tpu"
     # On-chip A/B (tools/kbench_gather.py, 2026-08-20, fwd+bwd at training
     # shapes): XLA's DMA-driven row gather beats the one-hot MXU
     # formulation FORWARD at every production shape, and its scatter-add

@@ -259,6 +259,40 @@ class TestGruVariants:
             rtol=0, atol=5e-4,
         )
 
+    def test_joint_gru_convs_identical(self):
+        """joint_gru_convs evaluates convq's x-rows jointly with convz/convr
+        (one wide conv; the qx column's h-rows are structurally zero) and
+        sums the two q partial products in fp32: same param tree, same
+        numbers up to one fp32 reassociation at the h/x row boundary."""
+        base = ModelConfig(max_disp=32, compute_dtype="float32")
+        joint = dataclasses.replace(base, joint_gru_convs=True)
+        m0, m1 = AnyStereo(base), AnyStereo(joint)
+        rng = np.random.RandomState(11)
+        b, h, w, q = 1, 32, 64, 32
+        left = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        right = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        coords = jnp.asarray(
+            (rng.rand(b, q, 2).astype(np.float32) * 2 - 1) * 0.99
+        )
+        scale = jnp.asarray([1.0], np.float32)
+        v0 = m0.init(jax.random.PRNGKey(7), left, right, iters=2,
+                     coords=coords, scale=scale)
+        v1 = m1.init(jax.random.PRNGKey(7), left, right, iters=2,
+                     coords=coords, scale=scale)
+        p0 = jax.tree_util.tree_leaves_with_path(v0["params"])
+        p1 = jax.tree_util.tree_leaves_with_path(v1["params"])
+        assert [k for k, _ in p0] == [k for k, _ in p1]
+        for (_, a), (_, b_) in zip(p0, p1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+        o0 = m0.apply(v0, left, right, iters=2, coords=coords, scale=scale,
+                      mode="train")
+        o1 = m1.apply(v0, left, right, iters=2, coords=coords, scale=scale,
+                      mode="train")
+        np.testing.assert_allclose(
+            np.asarray(o0.disp_preds), np.asarray(o1.disp_preds),
+            rtol=0, atol=5e-4,
+        )
+
     def test_mxu_rewrites_identical_raft_core(self):
         """Both MXU layout rewrites at once on the RAFT core (distinct
         motion-encoder widths, zero-init disparity): same param tree, same
