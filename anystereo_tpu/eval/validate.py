@@ -215,30 +215,15 @@ class Validator:
         key = (shape, q)
         if key not in self._fns:
             iters = self.valid_iters
-            # quarter_nearest samples the 4 nearest latents per query and
-            # local_ensemble blends 4 shifted decodes — both incompatible
-            # with the separable dense-grid decode, so those configs
-            # evaluate through the query path (full coord grid)
-            liif_cfg = self.model.cfg.liif
-            use_queries = (
-                liif_cfg.quarter_nearest != "none" or liif_cfg.local_ensemble
-            )
+            # round-5: the dense separable decode covers every sampling
+            # mode (incl. quarter_nearest / local_ensemble) — all configs
+            # evaluate gather-free (LiifDecoder._decode_dense)
 
             def f(params, left, right, ys, xs, scale):
-                if use_queries:
-                    oh, ow = ys.shape[0], xs.shape[0]
-                    coords = jnp.stack(
-                        jnp.meshgrid(ys, xs, indexing="ij"), axis=-1
-                    ).reshape(1, oh * ow, 2)
-                    out = self.model.apply(
-                        _as_variables(params), left, right, iters=iters,
-                        coords=coords, scale=scale, mode="eval",
-                    )
-                else:
-                    out = self.model.apply(
-                        _as_variables(params), left, right, iters=iters,
-                        dense_grid=(ys, xs), scale=scale, mode="eval",
-                    )
+                out = self.model.apply(
+                    _as_variables(params), left, right, iters=iters,
+                    dense_grid=(ys, xs), scale=scale, mode="eval",
+                )
                 return out.disp_final
 
             self._fns[key] = jax.jit(f)
@@ -489,14 +474,7 @@ def run_validation(
         sample1[None].astype(np.float32), sample2[None].astype(np.float32),
         scale_test, 32,
     )
-    if model_cfg.liif.quarter_nearest != "none" or model_cfg.liif.local_ensemble:
-        # these configs decode through the query path (see Validator._fn)
-        coords = jnp.stack(
-            jnp.meshgrid(ys, xs, indexing="ij"), axis=-1
-        ).reshape(1, ys.shape[0] * xs.shape[0], 2)
-        decode_kw = dict(coords=coords)
-    else:
-        decode_kw = dict(dense_grid=(ys, xs))
+    decode_kw = dict(dense_grid=(ys, xs))
     variables = jax.jit(
         lambda k: model.init(
             k, lp, rp, iters=1, scale=jnp.asarray([s]), mode="eval",

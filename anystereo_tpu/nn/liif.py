@@ -393,18 +393,86 @@ class LiifDecoder(nn.Module):
         return jnp.concatenate(pieces, axis=-1), rel0
 
     def _decode_dense(self, feats, ys, xs, scale):
+        """Dense separable decode, covering all three sampling modes the
+        query path supports (round-5: quarter_nearest and local_ensemble
+        previously fell back to the per-query gather path,
+        eval/validate.py): nearest / 4-nearest (quarter) sampling stays
+        SEPARABLE because the corner shifts are per-axis, and the local
+        ensemble is 4 shifted dense decodes blended by swapped outer-
+        product areas (liif.py:384-414)."""
+        cfg = self.cfg
+        feats = [self._augment(f, i) for i, f in enumerate(feats)]
+        mlp = self._make_mlp()
+        posencs = [self._make_posenc(i) for i in range(len(feats))]
+        if not cfg.local_ensemble:
+            latent, _ = self._build_latent_dense(
+                feats, (ys, xs), (ys, xs), scale, posencs
+            )
+            return mlp(latent)
+        fh, fw = feats[0].shape[1], feats[0].shape[2]
+        ry, rx = 1.0 / fh, 1.0 / fw
+        eps = 1e-6
+        preds, areas = [], []
+        for vy in (-1.0, 1.0):
+            for vx in (-1.0, 1.0):
+                latent, (r0y, r0x) = self._build_latent_dense(
+                    feats,
+                    (ys + (vy * ry + eps), xs + (vx * rx + eps)),
+                    (ys, xs),
+                    scale,
+                    posencs,
+                )
+                preds.append(mlp(latent))
+                areas.append(
+                    jnp.abs(r0y[:, None] * r0x[None, :]) + 1e-9
+                )  # [H', W']
+        tot = sum(areas)
+        areas = [areas[3], areas[2], areas[1], areas[0]]  # liif.py:402-408
+        out = 0.0
+        for pred, area in zip(preds, areas):
+            out = out + pred * (area / tot)[None, ..., None].astype(pred.dtype)
+        return out
+
+    def _build_latent_dense(self, feats, sample_grids, rel_grids, scale,
+                            posencs):
+        """Separable-grid analog of _build_latent.  sample_grids/rel_grids:
+        (ys [H'], xs [W']).  Returns (latent [B,H',W',C], (rel0_y, rel0_x)
+        of the first feat — per-axis, for local-ensemble areas)."""
         from anystereo_tpu.ops.sampling import nearest_dense_gather
 
         cfg = self.cfg
-        oh, ow = ys.shape[0], xs.shape[0]
-        pieces = []
+        sy, sx = sample_grids
+        gy, gx = rel_grids
+        oh, ow = sy.shape[0], sx.shape[0]
         b = feats[0].shape[0]
+        pieces, rel0 = [], None
         for i, feat in enumerate(feats):
             fh, fw = feat.shape[1], feat.shape[2]
-            feat = self._augment(feat, i)
-            qf, iy, ix = nearest_dense_gather(feat, ys, xs)  # [B,H',W',C]
-            rel_y = (ys - (-1.0 + (2.0 * iy + 1.0) / fh)) * fh  # [H']
-            rel_x = (xs - (-1.0 + (2.0 * ix + 1.0) / fw)) * fw  # [W']
+            if cfg.quarter_nearest == "both":
+                ry, rx = 1.0 / fh, 1.0 / fw
+                eps = 1e-6
+                q_feats, cys, cxs = [], {}, {}
+                for vy in (-1.0, 1.0):
+                    for vx in (-1.0, 1.0):
+                        qf, iy, ix = nearest_dense_gather(
+                            feat, sy + (vy * ry + eps), sx + (vx * rx + eps)
+                        )
+                        q_feats.append(qf)
+                        cys[vy] = -1.0 + (2.0 * iy + 1.0) / fh
+                        cxs[vx] = -1.0 + (2.0 * ix + 1.0) / fw
+                q_feat = jnp.concatenate(q_feats, axis=-1)  # [B,H',W',4C]
+                # center of the 2x2 cell = mean of the (-,-) and (+,+)
+                # corner coords (query path: 0.5*(corners[0]+corners[3]))
+                qc_y = 0.5 * (cys[-1.0] + cys[1.0])  # [H']
+                qc_x = 0.5 * (cxs[-1.0] + cxs[1.0])  # [W']
+            else:
+                q_feat, iy, ix = nearest_dense_gather(feat, sy, sx)
+                qc_y = -1.0 + (2.0 * iy + 1.0) / fh
+                qc_x = -1.0 + (2.0 * ix + 1.0) / fw
+            rel_y = (gy - qc_y) * fh  # [H']
+            rel_x = (gx - qc_x) * fw  # [W']
+            if rel0 is None:
+                rel0 = (rel_y, rel_x)
             rel = jnp.stack(
                 [
                     jnp.broadcast_to(rel_y[:, None], (oh, ow)),
@@ -412,7 +480,7 @@ class LiifDecoder(nn.Module):
                 ],
                 axis=-1,
             )  # [H', W', 2]
-            penc = self._make_posenc(i)
+            penc = posencs[i]
             if isinstance(penc, IpePositionEncoder):
                 relb = jnp.broadcast_to(rel[None], (b, oh, ow, 2))
                 cell = jnp.broadcast_to(
@@ -423,15 +491,14 @@ class LiifDecoder(nn.Module):
                 rel = penc(rel)
             if rel.ndim == 3:  # unbatched [H', W', C] → add batch
                 rel = jnp.broadcast_to(rel[None], (b, oh, ow, rel.shape[-1]))
-            piece = [qf, rel.astype(qf.dtype)]
+            piece = [q_feat, rel.astype(q_feat.dtype)]
             if cfg.decode_cell:
                 cell = jnp.broadcast_to(
                     (2.0 / scale).reshape(b, 1, 1, 1), (b, oh, ow, 2)
-                ).astype(qf.dtype)
+                ).astype(q_feat.dtype)
                 piece.append(cell)
             pieces.append(jnp.concatenate(piece, axis=-1))
-        latent = jnp.concatenate(pieces, axis=-1)
-        return self._make_mlp()(latent)  # [B, H', W', taps]
+        return jnp.concatenate(pieces, axis=-1), rel0
 
 
 def decoder_input_dim(cfg: LiifConfig, channel_list: Sequence[int]) -> int:

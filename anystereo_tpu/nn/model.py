@@ -273,8 +273,26 @@ class AnyStereo(nn.Module):
         weights = jax.nn.softmax(weights.astype(jnp.float32), axis=-1)
         w0 = disp.shape[-1]
         disp_scaled = self._scale_disp(disp, scale)
-        patches = unfold3x3(disp_scaled)  # [B, h, w, 9] fp32
-        up, _, _ = nearest_dense_gather(patches, ys, xs)  # [B, H', W', 9]
+        if self.cfg.liif.quarter_nearest != "none":
+            # separable dense analog of context_upsample_queries_quarter:
+            # gather disp at the four corner cells (per-axis shifts), tap
+            # order (vy,vx) = (-,-),(-,+),(+,-),(+,+) matching the weights
+            h0 = disp_scaled.shape[1]
+            ry, rx = 1.0 / h0, 1.0 / w0
+            eps = 1e-6
+            taps = []
+            for vy in (-1.0, 1.0):
+                for vx in (-1.0, 1.0):
+                    t, _, _ = nearest_dense_gather(
+                        disp_scaled[..., None],
+                        ys + (vy * ry + eps),
+                        xs + (vx * rx + eps),
+                    )
+                    taps.append(t)
+            up = jnp.concatenate(taps, axis=-1)  # [B, H', W', 4]
+        else:
+            patches = unfold3x3(disp_scaled)  # [B, h, w, 9] fp32
+            up, _, _ = nearest_dense_gather(patches, ys, xs)  # [B,H',W',9]
         return self._denorm_disp((up * weights).sum(axis=-1), w0, scale)
 
     # ------------------------------------------------------------------ #
@@ -303,15 +321,12 @@ class AnyStereo(nn.Module):
             scale = jnp.ones((b,), jnp.float32)
         else:
             scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (b,))
-        # quarter-nearest decodes 4 shifted taps per query and the local
-        # ensemble blends 4 shifted decodes — neither fits the separable
-        # dense path (which covers only the 3x3-unfold combine), so those
-        # configs evaluate through the query path
-        needs_queries = (
-            cfg.liif.quarter_nearest != "none" or cfg.liif.local_ensemble
-        )
+        # round-5: the dense separable path covers ALL sampling modes —
+        # quarter-nearest (per-axis corner shifts stay separable) and the
+        # local ensemble (4 shifted dense decodes, swapped-area blend) —
+        # so eval always decodes gather-free (LiifDecoder._decode_dense)
         if coords is None and dense_grid is None:
-            if mode == "train" or needs_queries:
+            if mode == "train":
                 coords = dense_query_coords(b, h, w)
             else:
                 from anystereo_tpu.ops.coords import _axis_centers
@@ -319,12 +334,6 @@ class AnyStereo(nn.Module):
                 dense_grid = (_axis_centers(h), _axis_centers(w))
         if dense_grid is not None and mode == "train":
             raise ValueError("dense_grid is an eval-only decode path")
-        if dense_grid is not None and needs_queries:
-            raise ValueError(
-                "dense_grid decode does not support quarter_nearest or "
-                "local_ensemble — use the query path (coords=...)"
-            )
-
         match_l, match_r, feats_l, stems = self._matching(left, right)
         pyr, init_disp = self._cost_stage(match_l, match_r, feats_l)
         net, ctx = self._context(left)

@@ -44,6 +44,43 @@ class TestDenseDecodeParity:
             atol=1e-4,
         )
 
+    @pytest.mark.parametrize("kw", [
+        dict(liif=dict(quarter_nearest="both")),
+        dict(liif=dict(local_ensemble=True)),
+        dict(liif=dict(quarter_nearest="both", local_ensemble=True)),
+    ])
+    def test_quarter_and_ensemble_match_query_decode(self, kw):
+        """Round-5: quarter_nearest / local_ensemble previously fell back
+        to the per-query gather path at eval; the separable dense decode
+        now covers them and must match the query path on the same grid."""
+        from anystereo_tpu.config import LiifConfig
+
+        cfg = ModelConfig(max_disp=32, liif=LiifConfig(**kw["liif"]))
+        model = AnyStereo(cfg)
+        b, h, w = 1, 32, 64
+        rng = np.random.RandomState(2)
+        left = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        right = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+        coords = dense_query_coords(b, h, w)
+        scale = jnp.asarray([1.5], jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), left, right, iters=1, coords=coords,
+            scale=scale,
+        )
+        q_out = model.apply(
+            variables, left, right, iters=2, coords=coords, scale=scale,
+            mode="eval",
+        ).disp_final  # [B, H*W]
+        d_out = model.apply(
+            variables, left, right, iters=2,
+            dense_grid=(_axis_centers(h), _axis_centers(w)), scale=scale,
+            mode="eval",
+        ).disp_final  # [B, H, W]
+        np.testing.assert_allclose(
+            np.asarray(d_out).reshape(b, -1), np.asarray(q_out), rtol=1e-4,
+            atol=1e-4,
+        )
+
     def test_eval_default_is_dense_full_grid(self):
         cfg = ModelConfig(max_disp=32)
         model = AnyStereo(cfg)
