@@ -168,8 +168,10 @@ class ModelConfig:
     # with convz/convr as one wide conv over hx (the q conv waits on r and
     # measured ~52% MXU standalone; its x-part has no such dependence),
     # leaving a thin hidden->hidden conv on the serial r*h path.  Identical
-    # param tree; one fp32 reassociation at the h/x row boundary.
-    joint_gru_convs: bool = False
+    # param tree; one fp32 reassociation at the h/x row boundary.  On-chip
+    # A/B 2026-08-21 (bench.py): 10.63 -> 10.92 pairs/s (91.6 ms), eval
+    # maxdiff 0.078 px after 8 bf16 iterations -> default ON.
+    joint_gru_convs: bool = True
     # Run left+right through the shared-weight matching encoders/stems as
     # one batched call (numerically identical: all norms are per-sample).
     # Measured on-chip 2026-08-20 (tools/profile_matching.py, 384x1248):

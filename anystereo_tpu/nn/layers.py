@@ -206,18 +206,32 @@ class _Conv3x3x3FoldedS2(nn.Module):
         dt = self.dtype or x.dtype
         b, d, h, wd, _ = x.shape
         d_out = (d - 1) // 2 + 1
-        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
         wdt = w.astype(dt)
-        y = None
+        # Round-5 reformulation: the old form strided-sliced three depth
+        # slabs of the INPUT and convolved each — measured 3.48 ms at 0.2%
+        # MXU for the level-0 down conv (tools/profile_agg.py; the
+        # pad+strided-slab pattern lowers to a gather-fed conv).  Instead
+        # run the three kd-tap stride-2 2-D convs DENSE over all D depths
+        # (contiguous input, the tuned conv2d path — 2x the depth-FLOPs,
+        # which are ~100x cheaper than the gather), then depth-subsample
+        # the 4x-smaller outputs with cheap static slices.
+        x2 = x.reshape(b * d, h, wd, ci).astype(dt)
+        ys = []
         for kd in range(3):
-            slab = jax.lax.slice_in_dim(xp, kd, kd + 2 * d_out - 1, 2, axis=1)
-            s2 = slab.reshape(b * d_out, h, wd, ci).astype(dt)
             o = jax.lax.conv_general_dilated(
-                s2, wdt[kd], (2, 2), ((1, 1), (1, 1)),
+                x2, wdt[kd], (2, 2), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-            y = o if y is None else y + o
-        y = y.reshape(b, d_out, y.shape[1], y.shape[2], self.features)
+            ys.append(o.reshape(b, d, o.shape[1], o.shape[2], self.features))
+        # out[od] = y0[2od-1] + y1[2od] + y2[2od+1]  (out-of-range = 0)
+        y1 = ys[1][:, 0 : 2 * d_out - 1 : 2]
+        zslab = jnp.zeros_like(y1[:, :1])  # y1 always has d_out >= 1 slabs
+        y2p = ys[2][:, 1 : 2 * d_out : 2]
+        if y2p.shape[1] < d_out:  # odd D: 2*(d_out-1)+1 == d is out of range
+            y2p = jnp.concatenate([y2p, zslab], axis=1)
+        y0p = ys[0][:, 1 : 2 * d_out - 2 : 2]
+        y0p = jnp.concatenate([zslab, y0p], axis=1)
+        y = y0p + y1 + y2p
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.features,), self.param_dtype
@@ -337,51 +351,64 @@ class TorchConvTranspose(nn.Module):
         return out
 
     def _depth_decomposed_3d(self, x, wf, dt):
-        """The k4 s2 p1 3-D transposed conv with the depth axis decomposed
-        into four depth-batched 2-D transposed convs (same thin-channel
-        conv3d pathology as _Conv3x3x3Folded; see its docstring).
+        """The k4 s2 p1 3-D transposed conv as a SUBPIXEL conv (round-5):
+        a stride-1 3x3x3 conv producing all 8 phase outputs as channels
+        (kernel rebuilt from the flipped wf with structural zeros - per
+        axis slot layout [[wf0, 0], [wf2, wf1], [0, wf3]] over
+        (kernel-slot, phase)), followed by a 3-D pixel shuffle.
 
-        With the already-flipped kernel wf (conv form), the input-dilated
-        conv gives out[2m] = conv2dT(x[m-1], wf[0]) + conv2dT(x[m], wf[2])
-        and out[2m+1] = conv2dT(x[m], wf[1]) + conv2dT(x[m+1], wf[3]);
-        even/odd slabs are interleaved by a stack+reshape."""
+        Why: the lhs-dilated formulation measured 1.6-1.9% MXU at the
+        hourglass shapes (tools/profile_agg.py: 0.926 ms for the final
+        16->8 deconv); the dense phase conv rides the same depth-batched
+        conv2d path as _Conv3x3x3Folded (37% MXU measured) at 27/16 the
+        MACs.  Derivation: for output o = 2i+p per axis, the dilated conv
+        reads x[i-1+p+dy], dy in {0,1}, with weights wf[2dy+p]; embedding
+        both phases in one pad-1 size-3 kernel gives the slot layout."""
         b, d, h, wd, ci = x.shape
+        co = self.features
+
+        def expand_axis(w, axis):
+            parts = [
+                jax.lax.index_in_dim(w, k, axis, keepdims=False)
+                for k in range(4)
+            ]
+            z = jnp.zeros_like(parts[0])
+            slots = [
+                jnp.stack([parts[0], z], axis=axis),        # [wf0, 0]
+                jnp.stack([parts[2], parts[1]], axis=axis),  # [wf2, wf1]
+                jnp.stack([z, parts[3]], axis=axis),        # [0, wf3]
+            ]
+            # -> [..., 3 (slot at axis), 2 (phase at axis+1), ...]
+            return jnp.stack(slots, axis=axis)
+
+        # wf [4,4,4,ci,co] -> [3,2, 3,2, 3,2, ci, co] (slot, phase per axis)
+        k8 = expand_axis(expand_axis(expand_axis(wf, 2), 1), 0)
+        # -> [3,3,3, ci, 2,2,2, co] -> [3,3,3, ci, 8*co]
+        k8 = k8.transpose(0, 2, 4, 6, 1, 3, 5, 7).reshape(3, 3, 3, ci, 8 * co)
+
+        # stride-1 3x3x3 conv via the depth-batched fold (_Conv3x3x3Folded
+        # pattern), output channels = 8 phases * co
         x2 = x.reshape(b * d, h, wd, ci).astype(dt)
-        if _WIDEN_FOLDS:
-            # all four kd-taps read the same depth-batched input → one conv
-            # with N = 4*Co, then slice the channel groups
-            wcat = jnp.concatenate([wf[kd] for kd in range(4)], axis=-1)
-            o = jax.lax.conv_general_dilated(
-                x2,
-                wcat.astype(dt),
-                window_strides=(1, 1),
-                padding=((2, 2), (2, 2)),
-                lhs_dilation=(2, 2),
+        k8 = k8.astype(dt)
+        outs = [
+            jax.lax.conv_general_dilated(
+                x2, k8[kd], (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
-            o = o.reshape(b, d, o.shape[1], o.shape[2], 4 * self.features)
-            f = self.features
-            ys = [o[..., i * f : (i + 1) * f] for i in range(4)]
-        else:
-            ys = []
-            for kd in range(4):
-                o = jax.lax.conv_general_dilated(
-                    x2,
-                    wf[kd].astype(dt),
-                    window_strides=(1, 1),
-                    padding=((2, 2), (2, 2)),
-                    lhs_dilation=(2, 2),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-                ys.append(
-                    o.reshape(b, d, o.shape[1], o.shape[2], self.features)
-                )
-        z = jnp.zeros_like(ys[0][:, :1])
-        even = jnp.concatenate([z, ys[0][:, :-1]], axis=1) + ys[2]
-        odd = ys[1] + jnp.concatenate([ys[3][:, 1:], z], axis=1)
-        return jnp.stack([even, odd], axis=2).reshape(
-            b, 2 * d, even.shape[2], even.shape[3], self.features
+            ).reshape(b, d, h, wd, 8 * co)
+            for kd in range(3)
+        ]
+        z = jnp.zeros_like(outs[0][:, :1])
+        y = (
+            jnp.concatenate([z, outs[0][:, :-1]], axis=1)
+            + outs[1]
+            + jnp.concatenate([outs[2][:, 1:], z], axis=1)
         )
+        # 3-D pixel shuffle: [b,d,h,w, 2,2,2,co] -> [b, 2d, 2h, 2w, co]
+        y = y.reshape(b, d, h, wd, 2, 2, 2, co)
+        y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+        return y.reshape(b, 2 * d, 2 * h, 2 * wd, co)
+
+
 
 
 class Conv2x(nn.Module):

@@ -112,10 +112,10 @@ class ConvGRU(nn.Module):
         measured ~52% MXU and cannot join XLA's z/r coalition because it
         waits on r (docs/PERF.md round-3 table); this moves 2/3 of its MACs
         into the wide leading conv that has no data dependence.  Param tree
-        identical (convz/convr/convq kernels sliced at apply); numerics: the
-        q parts are MXU-accumulated fp32 and summed in fp32 before one cast
-        — a single fp32 reassociation at the h/x row boundary, plus one
-        bf16 rounding of the qx partial at the fused-conv store."""
+        identical (convz/convr/convq kernels sliced at apply); numerics:
+        the two q partials each round at their conv store (one extra bf16
+        rounding vs the single conv) and are summed in fp32 — a single
+        reassociation at the h/x row boundary."""
         hd = self.hidden_dim
         in_all = hx.shape[-1]
         kz, bz = _Conv3Params(hd, name="convz")(in_all)
@@ -139,16 +139,22 @@ class ConvGRU(nn.Module):
         )
         z = nn.sigmoid(zrq[..., :hd] + bz.astype(dt) + cz)
         r = nn.sigmoid(zrq[..., hd : 2 * hd] + br.astype(dt) + cr)
+        # no preferred_element_type here: the conv transpose rule feeds the
+        # fp32 cotangent back against the bf16 input and trips a dtype
+        # check under autodiff — so the qh partial rounds at its store
+        # (one extra bf16 rounding vs the single conv) and the parts are
+        # summed in fp32
         qh = jax.lax.conv_general_dilated(
             (r * h).astype(dt),
             kq[:, :, :hd, :].astype(dt),
             window_strides=(1, 1),
             padding=((1, 1), (1, 1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
         q_pre = (
-            zrq[..., 2 * hd :].astype(jnp.float32) + qh + bq
+            zrq[..., 2 * hd :].astype(jnp.float32)
+            + qh.astype(jnp.float32)
+            + bq
         ).astype(dt)
         q = jnp.tanh(q_pre + cq)
         return (1.0 - z) * h + z * q

@@ -53,7 +53,8 @@ pytestmark = pytest.mark.slow
 # reductions, which the iterative refinement amplifies past the band at
 # RAFT's zero-init — their equivalence to the conv forms is pinned
 # separately (test_variants.py), so the golden gate pins the base numerics
-_PIN = dict(fast_disp_head=False, fuse_motion_convs=False)
+_PIN = dict(fast_disp_head=False, fuse_motion_convs=False,
+            joint_gru_convs=False)
 
 
 class TestGolden:

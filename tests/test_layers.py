@@ -40,7 +40,9 @@ class TestFolded3dConvs:
 
     @pytest.mark.parametrize("b,d,h,w,ci,co", [(1, 8, 6, 10, 5, 7),
                                                (2, 5, 5, 7, 3, 3),
-                                               (1, 48, 8, 8, 8, 16)])
+                                               (1, 48, 8, 8, 8, 16),
+                                               (1, 2, 4, 6, 3, 4),
+                                               (1, 1, 4, 6, 3, 4)])
     def test_stride2_matches_conv3d(self, rng, b, d, h, w, ci, co):
         x = jnp.asarray(rng.randn(b, d, h, w, ci).astype(np.float32))
         mod = _Conv3x3x3FoldedS2(co)

@@ -57,6 +57,11 @@ def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
     import jax  # noqa: E402  (env is set now)
+
+    # the axon site hook force-sets JAX_PLATFORMS=axon and IGNORES the env
+    # override — the config API is honored (same workaround as
+    # tests/conftest.py); XLA_FLAGS device_count is still read from env
+    jax.config.update("jax_platforms", "cpu")
     from jax import monitoring
 
     counts = {"requests": 0, "hits": 0}
