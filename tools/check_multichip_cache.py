@@ -93,18 +93,29 @@ def main() -> int:
             "and commit the cache:  git add .jax_cache_multichip"
         )
         return 0
-    if misses > 0:
+    # Gate criterion: programs under jax_persistent_cache_min_compile_time
+    # (1 s) are never persisted, so they always count as misses — an
+    # all-hits assert would never pass.  What actually hurt the driver was
+    # the 400+ s cold GSPMD jit_step compile (MULTICHIP_r04); warm via the
+    # committed cache the whole dryrun measures ~260 s on this host.  So:
+    # the big programs must HIT (hits >= 1) and the end-to-end time must
+    # stay far below the cold ~870 s.
+    budget_s = 420.0
+    if counts["hits"] < 1 or dt > budget_s:
         print(
-            "[cache-check] FAIL: the committed .jax_cache_multichip is STALE "
-            f"for current HEAD ({misses} executables compiled cold).  The "
-            "driver's dryrun would pay a slow cold compile.  Regenerate:\n"
+            "[cache-check] FAIL: the committed .jax_cache_multichip looks "
+            f"STALE for current HEAD (hits={counts['hits']}, end-to-end "
+            f"{dt:.0f}s > budget {budget_s:.0f}s means the big GSPMD "
+            "programs compiled cold).  The driver's dryrun would pay a "
+            "slow cold compile.  Regenerate:\n"
             "  python tools/check_multichip_cache.py --regen && \\\n"
             "  python tools/check_multichip_cache.py && "
             "git add .jax_cache_multichip && git commit",
             file=sys.stderr,
         )
         return 1
-    print("[cache-check] OK: multichip cache warm for current HEAD")
+    print(f"[cache-check] OK: multichip cache warm for current HEAD "
+          f"({counts['hits']} big-program hits, {dt:.0f}s end-to-end)")
     return 0
 
 

@@ -113,7 +113,11 @@ def main() -> int:
             tcfg.lr, tcfg.weight_decay, tcfg.num_steps, tcfg.grad_clip,
             skip_nonfinite=False,  # observe the raw NaN, don't mask it
         )
-        state = create_train_state(variables["params"], tx)
+        # fresh buffer copy per variant: the split path DONATES the state
+        # to its optimizer-apply program, which would delete the shared
+        # params out from under the other variant
+        params = jax.tree_util.tree_map(jnp.array, variables["params"])
+        state = create_train_state(params, tx)
         step = make_train_step(model, tcfg)
         new_state, metrics = step(state, batch)
         jax.block_until_ready(metrics["loss"])
