@@ -14,9 +14,13 @@ fingerprint, and exits 1 if the regression reproduces (fused nonfinite
 while split finite), 0 if the runtime is healthy.
 
 RETIRE CONDITION for the workaround: when this script exits 0 on the axon
-TPU runtime, flip the `split = jax.default_backend() == "tpu"` default in
-anystereo_tpu/train/step.py:88-91 back to fused, delete this note from
+TPU runtime AT THE ORIGINAL TRIGGER SHAPES (--h 320 --w 736 --iters 16,
+the reference training crop) as well as the defaults, flip the
+`split = jax.default_backend() == "tpu"` default in
+anystereo_tpu/train/step.py:88-91 back to fused, update the note in
 docs/PERF.md, and keep the script as a regression canary.
+STATUS 2026-08-21: exits 0 (NO REPRO) at the default shapes on-chip —
+the regression appears fixed; the big-shape confirmation is pending.
 
 Usage: python tools/repro_fused_opt_nan.py [--h 96] [--w 160] [--iters 4]
 (CPU note: on non-TPU backends both paths are expected finite — the script
