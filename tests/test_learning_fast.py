@@ -57,12 +57,25 @@ def _synthetic_batch(b=1, h=64, w=64, disp=4.0, seed=3):
 
 
 def test_loss_trajectory_band():
-    # the CPU jit_step compile is minutes cold; the repo's persistent
-    # compilation cache makes every rerun ~1 min (same mechanism bench.py
-    # and the driver's dryrun rely on)
-    from anystereo_tpu.utils.jax_cache import enable_compilation_cache
+    # The CPU jit_step compile is minutes cold; a persistent compilation
+    # cache makes reruns ~1 min.  Use a TEST-OWNED cache dir and restore
+    # the config afterwards: enabling the shared ~/.cache dir process-wide
+    # made later tests in the same pytest process load AOT blobs compiled
+    # with other machines' CPU features (the axon remote service writes
+    # there) — observed as a segfault in test_train during a pjit call.
+    import os
 
-    enable_compilation_cache()
+    prev = jax.config.jax_compilation_cache_dir
+    cache_dir = os.path.expanduser("~/.cache/anystereo_jax_tests")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    try:
+        _run_trajectory()
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def _run_trajectory():
     cfg = ModelConfig(max_disp=32)
     tcfg = TrainConfig(
         train_iters=2, batch_size=1, supervise_init=True, num_steps=1000
