@@ -13,14 +13,44 @@ from __future__ import annotations
 import os
 
 
+def _cpu_fingerprint() -> str:
+    """Short digest of this host's CPU feature flags.
+
+    XLA:CPU cache entries embed AOT machine code for the COMPILING host's
+    CPU features; executing an entry compiled on a stronger host (e.g.
+    amx-avx512) on a weaker one SIGILLs/aborts (observed 2026-08-21 as a
+    segfault deep in a pjit call after the build container migrated
+    machines mid-round).  Keying the default cache dir by the feature set
+    makes a migrated container start a fresh cache instead of executing
+    foreign machine code."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(flags.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha256(platform.processor().encode()).hexdigest()[:8]
+
+
 def enable_compilation_cache(path: str | None = None) -> str:
     """Enable the on-disk compilation cache (idempotent).  Returns the
-    cache directory."""
+    cache directory.  The default path is keyed by the host's CPU feature
+    set (see _cpu_fingerprint); explicit paths (e.g. the repo-committed
+    multichip cache) are used as given."""
     import jax
 
     path = path or os.environ.get(
         "ANYSTEREO_JAX_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "anystereo_jax"),
+        os.path.join(
+            os.path.expanduser("~"), ".cache",
+            f"anystereo_jax-{_cpu_fingerprint()}",
+        ),
     )
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

@@ -57,18 +57,15 @@ def _synthetic_batch(b=1, h=64, w=64, disp=4.0, seed=3):
 
 
 def test_loss_trajectory_band():
-    # The CPU jit_step compile is minutes cold; a persistent compilation
-    # cache makes reruns ~1 min.  Use a TEST-OWNED cache dir and restore
-    # the config afterwards: enabling the shared ~/.cache dir process-wide
-    # made later tests in the same pytest process load AOT blobs compiled
-    # with other machines' CPU features (the axon remote service writes
-    # there) — observed as a segfault in test_train during a pjit call.
-    import os
+    # The CPU jit_step compile is minutes cold; the persistent compilation
+    # cache makes reruns ~1 min.  The cache dir is keyed by the host CPU
+    # feature set (utils.jax_cache._cpu_fingerprint) so a migrated
+    # container never executes foreign AOT machine code, and the config is
+    # restored afterwards so the rest of the pytest process is unaffected.
+    from anystereo_tpu.utils.jax_cache import enable_compilation_cache
 
     prev = jax.config.jax_compilation_cache_dir
-    cache_dir = os.path.expanduser("~/.cache/anystereo_jax_tests")
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    enable_compilation_cache()
     try:
         _run_trajectory()
     finally:
